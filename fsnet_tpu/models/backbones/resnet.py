@@ -1,0 +1,183 @@
+"""ResNet-{18,34,50,101,152} multi-scale feature backbone (flax.linen, NHWC).
+
+Feature-parity with the reference backbone
+(``vision_base/networks/models/backbone/resnet.py``): multi-scale
+``out_indices`` incl. the stem (-1), per-stage strides/dilations,
+``frozen_stages`` (handled functionally: parameters are masked out of the
+optimizer update, see ``runtime/optim.py``), ``norm_eval`` frozen-BN-stats
+mode (``resnet.py:169-196``), and ``num_input_images`` for the 6-channel pose
+encoder input (``resnet.py:116,155-160``; pretrained conv1 weights are
+replicated/averaged by the torch-checkpoint converter,
+``fsnet_tpu/models/torch_convert.py``).
+
+TPU-first notes: NHWC layout; explicit torch-style paddings (XLA 'SAME'
+differs for stride 2); BN supports a cross-replica ``axis_name`` (SyncBN).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..blocks import BatchNorm, max_pool_3x3_s2_p1
+
+_LAYERS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+PLANES = (64, 128, 256, 512)
+
+
+def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
+          name: Optional[str] = None) -> nn.Conv:
+    pad = dilation if kernel == 3 else (3 if kernel == 7 else 0)
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=((pad, pad), (pad, pad)),
+                   kernel_dilation=(dilation, dilation),
+                   use_bias=False, name=name)
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs + identity/projection residual (reference ``resnet.py:21-50``)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+    norm_axis_name: Optional[str] = None
+    norm_frozen: bool = False
+
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        bn = lambda name: BatchNorm(axis_name=self.norm_axis_name,  # noqa: E731
+                                    frozen=self.norm_frozen, name=name)
+        residual = x
+        out = _conv(self.planes, 3, self.stride, name="conv1")(x)
+        out = bn("bn1")(out, train)
+        out = jax.nn.relu(out)
+        out = _conv(self.planes, 3, 1, self.dilation, name="conv2")(out)
+        out = bn("bn2")(out, train)
+        if self.has_downsample:
+            residual = nn.Conv(self.planes * self.expansion, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, name="downsample_conv")(x)
+            residual = bn("downsample_bn")(residual, train)
+        return jax.nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck residual (reference ``resnet.py:53-90``)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+    norm_axis_name: Optional[str] = None
+    norm_frozen: bool = False
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        bn = lambda name: BatchNorm(axis_name=self.norm_axis_name,  # noqa: E731
+                                    frozen=self.norm_frozen, name=name)
+        residual = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = jax.nn.relu(bn("bn1")(out, train))
+        out = _conv(self.planes, 3, self.stride, self.dilation, name="conv2")(out)
+        out = jax.nn.relu(bn("bn2")(out, train))
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = bn("bn3")(out, train)
+        if self.has_downsample:
+            residual = nn.Conv(self.planes * 4, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, name="downsample_conv")(x)
+            residual = bn("downsample_bn")(residual, train)
+        return jax.nn.relu(out + residual)
+
+
+class ResNet(nn.Module):
+    """Multi-scale ResNet feature extractor (reference ``resnet.py:93-213``).
+
+    Returns a list of NHWC feature maps selected by ``out_indices``
+    (-1 = post-stem pre-maxpool activation, 0..3 = stage outputs).
+    """
+
+    block_type: str = "basic"          # 'basic' | 'bottleneck'
+    layers: Tuple[int, ...] = (2, 2, 2, 2)
+    num_stages: int = 4
+    strides: Tuple[int, ...] = (1, 2, 2, 2)
+    dilations: Tuple[int, ...] = (1, 1, 1, 1)
+    out_indices: Tuple[int, ...] = (-1, 0, 1, 2, 3)
+    frozen_stages: int = -1            # consumed by the optimizer mask
+    norm_eval: bool = True
+    num_input_images: int = 1          # API parity; input channels are inferred
+    norm_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True):
+        assert 1 <= self.num_stages <= 4
+        assert max(self.out_indices) < self.num_stages
+        block_cls = BasicBlock if self.block_type == "basic" else Bottleneck
+        expansion = block_cls.expansion
+        frozen = self.norm_eval  # norm_eval freezes BN stats even in training
+
+        outs = []
+        x = _conv(64, 7, 2, name="conv1")(x)
+        x = BatchNorm(axis_name=self.norm_axis_name, frozen=frozen,
+                      name="bn1")(x, train)
+        x = jax.nn.relu(x)
+        if -1 in self.out_indices:
+            outs.append(x)
+        x = max_pool_3x3_s2_p1(x)
+
+        inplanes = 64
+        for i in range(self.num_stages):
+            planes = PLANES[i]
+            stride = self.strides[i]
+            dilation = self.dilations[i]
+            for b in range(self.layers[i]):
+                # torch quirk kept for weight parity: the first block of a
+                # stage always runs dilation 1 (reference resnet.py:147-151)
+                has_ds = b == 0 and (stride != 1 or inplanes != planes * expansion)
+                x = block_cls(
+                    planes=planes,
+                    stride=stride if b == 0 else 1,
+                    dilation=1 if b == 0 else dilation,
+                    has_downsample=has_ds,
+                    norm_axis_name=self.norm_axis_name,
+                    norm_frozen=frozen,
+                    name=f"layer{i + 1}_{b}",
+                )(x, train)
+                inplanes = planes * expansion
+            if i in self.out_indices:
+                outs.append(x)
+        return outs
+
+
+def resnet(depth: int, pretrained: bool = False, pretrained_path: str = "",
+           **kwargs) -> ResNet:
+    """Config-facing factory (reference ``resnet.py:270-284``).
+
+    ``pretrained`` weight loading is decoupled from module construction in the
+    functional paradigm: pass ``pretrained_path`` (a torchvision ``.pth``) to
+    the checkpoint loader (``fsnet_tpu.models.torch_convert.load_torch_resnet``)
+    at init time — the zero-egress build cannot download model-zoo weights.
+    """
+    if depth not in _LAYERS:
+        raise ValueError(
+            "Unsupported model depth, must be one of 18, 34, 50, 101, 152")
+    block_type, layers = _LAYERS[depth]
+    kwargs.pop("pretrained", None)
+    # drop torch-only kwargs accepted for config compatibility
+    for legacy in ("pretrained_backbone",):
+        kwargs.pop(legacy, None)
+    return ResNet(block_type=block_type, layers=layers, **kwargs)

@@ -1,0 +1,271 @@
+"""Reusable network blocks (flax.linen, NHWC).
+
+Re-implements the reference blocks library
+(``vision_base/networks/blocks/blocks.py``) TPU-first: explicit symmetric
+paddings so conv arithmetic matches the torch reference exactly (XLA's 'SAME'
+disagrees with torch for stride-2), NHWC layout throughout, and BatchNorm with
+an optional cross-replica axis (the SyncBN analogue: ``lax.pmean`` over the
+mesh 'data' axis, reference ``scripts/train.py:101``).
+
+All modules take ``train: bool`` at call time; BN running statistics live in
+the ``batch_stats`` collection per flax convention.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def _pair(x) -> Tuple[int, int]:
+    if isinstance(x, int):
+        return (x, x)
+    return tuple(x)  # type: ignore[return-value]
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with torch-compatible defaults and optional SyncBN.
+
+    ``axis_name='data'`` makes the batch statistics a cross-replica ``pmean``
+    when the module runs inside shard_map/pjit with that mesh axis — the
+    TPU-native equivalent of ``torch.nn.SyncBatchNorm``
+    (reference ``scripts/train.py:100-102``).
+    ``frozen`` pins the module to running statistics regardless of ``train``
+    (the reference's ``norm_eval`` / ``freeze_bn``, ``resnet.py:169-196``).
+    """
+
+    momentum: float = 0.9  # flax convention: torch momentum 0.1 == 0.9 here
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+    frozen: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        use_running_average = (not train) or self.frozen
+        return nn.BatchNorm(
+            use_running_average=use_running_average,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            axis_name=self.axis_name if (train and not self.frozen) else None,
+            name="bn",
+        )(x)
+
+
+class ConvBnReLU(nn.Module):
+    """conv -> BN -> (ReLU) with torch-style explicit padding
+    (reference ``blocks.py:33-55``). ``padding_mode`` extends the torch arg:
+    'zeros' (default) or 'replicate' (edge) — the decoder's second upconv uses
+    replicate (reference ``depth_encoder.py:57``)."""
+
+    input_features: int = 1  # kept for API parity; flax infers input channels
+    output_features: int = 1
+    kernel_size: Union[int, Tuple[int, int]] = (1, 1)
+    stride: Union[int, Tuple[int, int]] = (1, 1)
+    padding: str = "SAME"
+    dilation: int = 1
+    groups: int = 1
+    relu: bool = True
+    padding_mode: str = "zeros"
+    norm_axis_name: Optional[str] = None
+    norm_frozen: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        k = _pair(self.kernel_size)
+        pad = int((k[0] - 1) / 2) * self.dilation if self.padding.lower() == "same" else 0
+        if pad > 0 and self.padding_mode == "replicate":
+            x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+            conv_padding: Any = "VALID"
+        else:
+            conv_padding = ((pad, pad), (pad, pad))
+        x = nn.Conv(
+            features=self.output_features,
+            kernel_size=k,
+            strides=_pair(self.stride),
+            padding=conv_padding,
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.groups,
+            use_bias=True,
+            name="conv",
+        )(x)
+        x = BatchNorm(axis_name=self.norm_axis_name, frozen=self.norm_frozen,
+                      name="norm")(x, train=train)
+        if self.relu:
+            x = jax.nn.relu(x)
+        return x
+
+
+class ConvReLU(nn.Module):
+    """conv -> ReLU (reference ``blocks.py:57-71``)."""
+
+    input_features: int = 1
+    output_features: int = 1
+    kernel_size: Union[int, Tuple[int, int]] = (1, 1)
+    stride: Union[int, Tuple[int, int]] = (1, 1)
+    padding: str = "SAME"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        k = _pair(self.kernel_size)
+        pad = int((k[0] - 1) / 2) if self.padding.lower() == "same" else 0
+        x = nn.Conv(self.output_features, k, strides=_pair(self.stride),
+                    padding=((pad, pad), (pad, pad)), name="conv")(x)
+        return jax.nn.relu(x)
+
+
+class Conv3x3(nn.Module):
+    """Reflection-pad (or zero-pad) + 3x3 VALID conv (reference ``blocks.py:73-88``)."""
+
+    in_channels: int = 0
+    out_channels: int = 1
+    use_refl: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mode = "reflect" if self.use_refl else "constant"
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
+        return nn.Conv(self.out_channels, (3, 3), padding="VALID", name="conv")(x)
+
+
+class ConvELU(nn.Module):
+    """Conv3x3 -> ELU (reference ``blocks.py:90-103``)."""
+
+    in_channels: int = 0
+    out_channels: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = Conv3x3(self.in_channels, self.out_channels, name="conv")(x)
+        return jax.nn.elu(x)
+
+
+class Scale(nn.Module):
+    """Learnable scalar multiplier (reference ``blocks.py:5-20``)."""
+
+    scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = self.param("scale", lambda key: jnp.asarray(self.scale, jnp.float32))
+        return x * s
+
+
+class LinearBnReLU(nn.Module):
+    """linear -> GroupNorm(16) -> LeakyReLU (reference ``blocks.py:105-119``)."""
+
+    input_features: int = 1
+    num_hiddens: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.num_hiddens, name="linear")(x)
+        x = nn.GroupNorm(num_groups=16, name="gn")(x)
+        return nn.leaky_relu(x, negative_slope=0.01)
+
+
+class LinearDropoutReLU(nn.Module):
+    """linear -> dropout -> ReLU (reference ``blocks.py:121-135``)."""
+
+    input_features: int = 1
+    num_hiddens: int = 1
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        x = nn.Dense(self.num_hiddens, name="linear")(x)
+        x = nn.Dropout(rate=self.drop, deterministic=not train)(x)
+        return jax.nn.relu(x)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (reference ``blocks.py:418-439``)."""
+
+    drop_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        if self.drop_prob == 0.0 or not train:
+            return x
+        keep_prob = 1.0 - self.drop_prob
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jnp.floor(keep_prob + jax.random.uniform(rng, shape, x.dtype))
+        return x / keep_prob * mask
+
+
+def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    """2x nearest-neighbour upsample (NHWC). The decoder's hot path — two
+    repeats lower to cheap broadcasts on TPU (vs. a general resize gather)."""
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, H * 2, W * 2, C)
+
+
+def interpolate_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
+                         align_corners: bool = True) -> jnp.ndarray:
+    """Bilinear resize matching ``F.interpolate(..., align_corners=True/False)``.
+
+    Used to upsample per-scale depth to full resolution
+    (reference ``monodepth2_decoder.py:63-64``).
+    """
+    B, H, W, C = x.shape
+    dtype = x.dtype
+    if align_corners and out_h > 1 and out_w > 1:
+        ys = jnp.linspace(0.0, H - 1.0, out_h, dtype=dtype)
+        xs = jnp.linspace(0.0, W - 1.0, out_w, dtype=dtype)
+    else:
+        ys = (jnp.arange(out_h, dtype=dtype) + 0.5) * (H / out_h) - 0.5
+        xs = (jnp.arange(out_w, dtype=dtype) + 0.5) * (W / out_w) - 0.5
+        ys = jnp.clip(ys, 0.0, H - 1.0)
+        xs = jnp.clip(xs, 0.0, W - 1.0)
+
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wy = (ys - y0.astype(dtype))[None, :, None, None]
+    wx = (xs - x0.astype(dtype))[None, None, :, None]
+
+    g = x[:, y0][:, :, x0]  # [B, out_h, out_w, C]
+    gx1 = x[:, y0][:, :, x1]
+    gy1 = x[:, y1][:, :, x0]
+    gxy = x[:, y1][:, :, x1]
+    top = g * (1 - wx) + gx1 * wx
+    bot = gy1 * (1 - wx) + gxy * wx
+    return top * (1 - wy) + bot * wy
+
+
+def adaptive_avg_pool2d(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Torch-compatible adaptive average pool (NHWC). Used to build per-scale
+    target pyramids (reference ``monodepth2_decoder.py:216-217``).
+
+    When in/out sizes divide evenly this is a plain reshape-mean (the common
+    case: power-of-two pyramids); otherwise falls back to torch's variable
+    window arithmetic.
+    """
+    B, H, W, C = x.shape
+    if H % out_h == 0 and W % out_w == 0:
+        x = x.reshape(B, out_h, H // out_h, out_w, W // out_w, C)
+        return x.mean(axis=(2, 4))
+    # variable windows: start = floor(i*H/out), end = ceil((i+1)*H/out)
+    ys = [(int(jnp.floor(i * H / out_h)), int(-(-((i + 1) * H) // out_h)))
+          for i in range(out_h)]
+    xs = [(int(jnp.floor(j * W / out_w)), int(-(-((j + 1) * W) // out_w)))
+          for j in range(out_w)]
+    rows = []
+    for (y0, y1) in ys:
+        cols = [x[:, y0:y1, x0:x1, :].mean(axis=(1, 2)) for (x0, x1) in xs]
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)
+
+
+def max_pool_3x3_s2_p1(x: jnp.ndarray) -> jnp.ndarray:
+    """torch ``MaxPool2d(kernel_size=3, stride=2, padding=1)`` on NHWC."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )

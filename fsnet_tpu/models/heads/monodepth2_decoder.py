@@ -1,0 +1,371 @@
+"""MonoDepth2 loss head — the hot self-supervision path (flax.linen, NHWC).
+
+Reference: ``monodepth/networks/models/heads/monodepth2_decoder.py`` —
+``MonoDepth2Decoder:19`` (owns backproject/project/SSIM, generates warped
+images, per-scale min-reprojection with identity automask + tie-break noise,
+edge-aware smoothness, pose / distillation losses) and ``FishEyeDecoder:350``
+(Mei unified-camera warp, in ``fisheye_decoder.py``).
+
+TPU-first redesign (vs. the reference's per-(scale, frame) python loop):
+
+* All S scales x F frames are warped in ONE batched ``grid_sample`` over a
+  [S*F*B, H, W, C] stack and ONE batched SSIM — big fused gathers that XLA
+  tiles well, instead of 8 small kernels per step.
+* ``inv_K`` is computed in-graph from the 4x4 K (the reference does a CPU
+  ``np.linalg.pinv`` every step — a host sync, ``monodepth2_decoder.py:82-85``).
+* The identity-reprojection losses are computed once and broadcast over
+  scales (they don't depend on scale — the reference recomputes them S times).
+* Tie-break noise uses an explicit PRNG key (collection 'loss_noise').
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ...ops.geometry import get_smooth_loss, invert_K, make_K44, reproject
+from ...ops.metrics import compute_depth_errors_masked
+from ...ops.ssim import ssim as ssim_fn
+from ...ops.warp import grid_sample
+from ...utils.builder import build
+from ..blocks import adaptive_avg_pool2d, interpolate_bilinear
+
+
+def reprojection_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                      ssim_weight: float = 0.85) -> jnp.ndarray:
+    """0.85*SSIM + 0.15*L1, mean over channels -> [..., H, W, 1]
+    (reference ``compute_reprojection_loss``, ``monodepth2_decoder.py:118-128``)."""
+    l1 = jnp.mean(jnp.abs(target - pred), axis=-1, keepdims=True)
+    s = jnp.mean(ssim_fn(pred, target), axis=-1, keepdims=True)
+    return ssim_weight * s + (1.0 - ssim_weight) * l1
+
+
+class MonoDepth2Decoder(nn.Module):
+    """Depth head + self-supervised loss. Sub-decoders are built from configs
+    through the DI builder, same surface as the reference ``__init__``
+    (``monodepth2_decoder.py:20-50``)."""
+
+    scales: Sequence[int] = (0, 1, 2, 3)
+    height: int = 192
+    width: int = 640
+    frame_ids: Sequence[Any] = (0, 1, -1)
+    depth_decoder_cfg: Optional[Dict] = None
+    pose_decoder_cfg: Optional[Dict] = None
+    multiscale_head_cfg: Optional[Dict] = None
+    # loss options (reference passes these via **kwargs + getattr defaults)
+    min_depth: float = 0.1
+    max_depth: float = 100.0
+    pose_loss_weight: float = 0.0
+    distillation_loss_weight: float = 0.0
+    residualflow_weight: float = 0.0
+    is_unscaled_distill: bool = False
+    is_uncertain_distill: bool = False
+    overlapped_mask: bool = False
+    is_log_image: bool = True
+    is_residual_flow: bool = False
+    is_light_compensate: bool = False
+    is_ssim_weight: bool = False
+
+    def setup(self):
+        assert self.depth_decoder_cfg is not None, "depth_decoder_cfg required"
+        self.depth_decoder = build(**dict(self.depth_decoder_cfg))
+        if self.pose_decoder_cfg is not None:
+            self.pose_decoder = build(**dict(self.pose_decoder_cfg))
+
+    # ------------------------------------------------------------- submodules
+
+    def forward_depth(self, features, P2=None, train: bool = True):
+        return self.depth_decoder(features, P2, train=train)
+
+    def forward_pose(self, pose_features, base_pose=None):
+        del base_pose  # reference quirk: residual branch passes it, unused
+        return self.pose_decoder(pose_features)
+
+    # ------------------------------------------------------------- prediction
+
+    def get_prediction(self, input_dict, output_dict):
+        """Full-res depth for eval/export (reference ``monodepth2_decoder.py:160-161``).
+        ('depth', 0, 0) is materialised here if the loss pass didn't run."""
+        if ("depth", 0, 0) in output_dict:
+            depth = output_dict[("depth", 0, 0)]
+        else:
+            depth = interpolate_bilinear(
+                output_dict[("depth", self.scales[0], self.scales[0])],
+                self.height, self.width, align_corners=True)
+        return dict(depth=depth)
+
+    # ------------------------------------------------------------------- loss
+
+    def _warp_all(self, input_dict, output_dict):
+        """Warp source frames into frame 0 for every (scale, frame) pair in one
+        batched gather. Returns (preds [S, F, B, H, W, C],
+        overlap_masks [S, F, B, H, W] or None, depths_full [S, B, H, W, 1]).
+
+        Reference ``_generate_images_pred`` (``monodepth2_decoder.py:61-116``).
+        """
+        scales = tuple(self.scales)
+        frames = tuple(self.frame_ids[1:])
+        S, F = len(scales), len(frames)
+        H, W = self.height, self.width
+
+        # per-scale depth upsampled to full resolution (align_corners=True)
+        depths_full = jnp.stack([
+            interpolate_bilinear(output_dict[("depth", s, s)], H, W,
+                                 align_corners=True)
+            for s in scales
+        ], axis=0)  # [S, B, H, W, 1]
+        B = depths_full.shape[1]
+
+        K = make_K44(input_dict["P2"])          # [B, 4, 4]
+        inv_K = invert_K(K)
+
+        # pose stack per frame: GT or predicted cam_T_cam
+        Ts = jnp.stack([
+            input_dict["stereo_T"] if f == "s" else output_dict[("cam_T_cam", f)]
+            for f in frames
+        ], axis=0)  # [F, B, 4, 4]
+
+        # sampling grids for all S x F combinations
+        def grid_for(depth_s, T_f):
+            return reproject(depth_s, K, inv_K, T_f)  # [B, H, W, 2]
+
+        grids = jax.vmap(lambda d: jax.vmap(lambda T: grid_for(d, T))(Ts))(
+            depths_full)  # [S, F, B, H, W, 2]
+
+        if self.is_residual_flow:
+            for fi, f in enumerate(frames):
+                if ("residual_flow", f, 0) in output_dict:
+                    flow = output_dict[("residual_flow", f, 0)]  # [B, H, W, 2]
+                    grids = grids.at[:, fi].add(flow[None])
+
+        sources = jnp.stack([
+            input_dict[("original_image", f)] for f in frames
+        ], axis=0)  # [F, B, H, W, C]
+        C = sources.shape[-1]
+        sources_tiled = jnp.broadcast_to(
+            sources[None], (S, F, B, H, W, C)).reshape(S * F * B, H, W, C)
+        grids_flat = grids.reshape(S * F * B, H, W, 2)
+
+        preds = grid_sample(sources_tiled, grids_flat, mode="bilinear",
+                            padding_mode="border", align_corners=True)
+        preds = preds.reshape(S, F, B, H, W, C)
+
+        if self.is_light_compensate:
+            for fi, f in enumerate(frames):
+                if ("light_compensate_ct", f, 0) in output_dict:
+                    C_t = output_dict[("light_compensate_ct", f, 0)]
+                    B_t = output_dict[("light_compensate_bt", f, 0)]
+                    preds = preds.at[:, fi].set(
+                        preds[:, fi] * (1.0 + C_t[None]) + B_t[None])
+
+        overlap = None
+        if self.overlapped_mask:
+            patched = input_dict.get(
+                "patched_mask",
+                jnp.ones((B, H, W), dtype=preds.dtype))  # [B, H, W]
+            patched_tiled = jnp.broadcast_to(
+                patched[None, None, ..., None],
+                (S, F, B, H, W, 1)).reshape(S * F * B, H, W, 1)
+            warped = grid_sample(patched_tiled, grids_flat, mode="nearest",
+                                 padding_mode="zeros", align_corners=True)
+            overlap = (warped.reshape(S, F, B, H, W) == 1.0)
+
+        return preds, overlap, depths_full
+
+    def compute_total_reprojection_loss(self, output_dict, input_dict,
+                                        noise_rng: Optional[jax.Array] = None):
+        """Min-reprojection + automask + smoothness over all scales
+        (reference ``monodepth2_decoder.py:205-304``). Returns
+        (losses dict, hm dict, total_loss scalar); also stores full-res depths
+        into ``output_dict[('depth', 0, s)]`` like the reference."""
+        scales = tuple(self.scales)
+        frames = tuple(self.frame_ids[1:])
+        S, F = len(scales), len(frames)
+        H, W = self.height, self.width
+
+        preds, overlap, depths_full = self._warp_all(input_dict, output_dict)
+        for si, s in enumerate(scales):
+            output_dict[("depth", 0, s)] = depths_full[si]
+            for fi, f in enumerate(frames):
+                output_dict[("original_image", f, s)] = preds[si, fi]
+
+        target = input_dict[("original_image", 0)]  # [B, H, W, C]
+        B = target.shape[0]
+
+        # batched photometric loss over all S*F warps
+        target_tiled = jnp.broadcast_to(
+            target[None, None], preds.shape).reshape(-1, H, W, preds.shape[-1])
+        proj_loss = reprojection_loss(
+            preds.reshape(-1, H, W, preds.shape[-1]), target_tiled)
+        proj_loss = proj_loss.reshape(S, F, B, H, W)
+
+        if self.overlapped_mask and overlap is not None:
+            # large constant blocks gradients and loses the min (reference
+            # monodepth2_decoder.py:231-236)
+            proj_loss = jnp.where(overlap, proj_loss, 100.0)
+
+        losses: Dict[str, jnp.ndarray] = {}
+        hm: Dict[str, Any] = {}
+        if self.is_log_image:
+            hm["original_image"] = target[0:1]
+            for fi, f in enumerate(frames):
+                hm[f"predicted_image_{f}"] = preds[0, fi, 0:1]
+
+        if "motion_mask" in input_dict:
+            # gradient gating by precomputed motion mask
+            # (reference monodepth2_decoder.py:243-246)
+            motion_mask = input_dict["motion_mask"]  # [B, H, W]
+            to_opt = jnp.min(proj_loss, axis=1)  # [S, B, H, W]
+            to_opt = (jax.lax.stop_gradient(to_opt) * motion_mask[None]
+                      + to_opt * (1.0 - motion_mask[None]))
+        else:
+            # identity automask: static-scene pixels prefer the un-warped
+            # source (reference monodepth2_decoder.py:248-263)
+            identity = jnp.stack([
+                reprojection_loss(input_dict[("original_image", f)], target)
+                for f in frames
+            ], axis=0)[..., 0]  # [F, B, H, W]
+            if noise_rng is not None:
+                identity = identity + jax.random.normal(
+                    noise_rng, identity.shape, identity.dtype) * 1e-5
+            combined = jnp.concatenate(
+                [jnp.broadcast_to(identity[None], (S, F, B, H, W)), proj_loss],
+                axis=1)  # [S, 2F, B, H, W]
+            to_opt = jnp.min(combined, axis=1)
+            if self.is_log_image:
+                idxs = jnp.argmin(combined, axis=1)
+                hm["loss_mask_0"] = dict(data=(idxs[0] >= F)[0:1, ..., None])
+
+        patched_mask = input_dict.get(
+            "patched_mask", jnp.ones((B, H, W), dtype=to_opt.dtype))
+        ssim_weight = output_dict.get(
+            "ssim_weight", jnp.ones((B, H, W), dtype=to_opt.dtype))
+        to_opt = to_opt * patched_mask[None] * ssim_weight[None]
+
+        photo_norm = jnp.sum(patched_mask) + 1e-6
+        total_loss = 0.0
+        for si, s in enumerate(scales):
+            loss_s = jnp.sum(to_opt[si]) / photo_norm
+
+            disp = output_dict[("disp", s)]  # [B, h, w, 1]
+            h, w = disp.shape[1], disp.shape[2]
+            color = target if s == 0 else adaptive_avg_pool2d(target, h, w)
+            mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
+            norm_disp = disp / (mean_disp + 1e-7)
+            smooth = get_smooth_loss(norm_disp, color) * 1e-5 / (2 ** s)
+
+            losses[f"smooth_loss/{s}"] = jax.lax.stop_gradient(smooth)
+            loss_s = loss_s + smooth
+            total_loss = total_loss + loss_s
+            losses[f"loss/{s}"] = jax.lax.stop_gradient(loss_s)
+
+        total_loss = total_loss / S
+        return losses, hm, total_loss
+
+    def compute_pose_loss(self, output_dict, input_dict):
+        """L1 between predicted and GT relative pose matrices
+        (reference ``monodepth2_decoder.py:176-183``)."""
+        pose_loss = 0.0
+        for f in self.frame_ids[1:]:
+            pose_loss = pose_loss + jnp.mean(jnp.abs(
+                input_dict[("relative_pose", f)]
+                - output_dict[("cam_T_cam", f)]))
+        return pose_loss
+
+    def compute_distill_loss(self, output_dict, input_dict, scale):
+        """Teacher-student depth distillation with optional scale-free and
+        uncertainty weighting (reference ``monodepth2_decoder.py:185-203``)."""
+        pred = output_dict[("depth", scale, scale)]
+        teacher = jax.lax.stop_gradient(
+            output_dict[("teacher_depth", scale, scale)])
+
+        if self.is_unscaled_distill:
+            ratio = jnp.mean(pred / (teacher + 1e-5), axis=(1, 2), keepdims=True)
+            error = jnp.abs(ratio * teacher - pred)
+        else:
+            error = jnp.abs(teacher - pred)
+
+        if self.is_uncertain_distill:
+            z = output_dict[("uncertain_z", scale)]
+            loss = error / z + jnp.log(z + 1e-5)
+        else:
+            loss = error
+        return jnp.mean(loss)
+
+    def compute_similarity_weight(self, input_dict):
+        """Cross-frame SSIM-derived per-pixel weights
+        (reference ``monodepth2_decoder.py:163-174``)."""
+        image0 = input_dict[("original_image", 0)]
+        ssims = [
+            ssim_fn(image0, input_dict[("original_image", f)],
+                    kernel_size=13, padding=6)
+            for f in self.frame_ids[1:]
+        ]
+        linked = jnp.mean(jnp.concatenate(ssims, axis=-1), axis=-1)  # [B,H,W]
+        return linked / jnp.mean(linked, axis=(1, 2), keepdims=True)
+
+    def compute_depth_losses(self, input_dict, output_dict, losses):
+        """Train-time KITTI monitor metrics vs sparse GT at 375x1242 with the
+        Garg crop (reference ``monodepth2_decoder.py:130-158``); masked-mean
+        formulation keeps shapes static under jit."""
+        depth_pred = interpolate_bilinear(
+            jax.lax.stop_gradient(output_dict[("depth", 0, 0)]),
+            375, 1242, align_corners=False)
+        depth_pred = jnp.clip(depth_pred, 1e-3, 80.0)[..., 0]
+
+        depth_gt = input_dict["depth_gt"]
+        if depth_gt.ndim == 4:
+            depth_gt = depth_gt[..., 0]
+        mask = (depth_gt > 0).astype(depth_pred.dtype)
+        crop = jnp.zeros_like(mask).at[:, 153:371, 44:1197].set(1.0)
+        mask = mask * crop
+
+        # masked medians via sorting is costly; reference's median scaling uses
+        # full-batch medians — approximate with masked mean-ratio scaling would
+        # drift, so compute true medians on the masked values padded with nan
+        gt_masked = jnp.where(mask > 0, depth_gt, jnp.nan)
+        pred_masked = jnp.where(mask > 0, depth_pred, jnp.nan)
+        ratio = (jnp.nanmedian(gt_masked) / (jnp.nanmedian(pred_masked) + 1e-8))
+        depth_pred = jnp.clip(depth_pred * ratio, 1e-3, 80.0)
+
+        losses.update(compute_depth_errors_masked(depth_gt, depth_pred, mask))
+        return losses
+
+    def loss(self, output_dict, input_dict,
+             noise_rng: Optional[jax.Array] = None):
+        """Total training loss (reference ``monodepth2_decoder.py:306-347``)."""
+        losses: Dict[str, jnp.ndarray] = {}
+        hm: Dict[str, Any] = {}
+
+        if self.is_ssim_weight:
+            output_dict["ssim_weight"] = self.compute_similarity_weight(input_dict)
+
+        repro_losses, repro_hm, total_loss = \
+            self.compute_total_reprojection_loss(output_dict, input_dict,
+                                                 noise_rng=noise_rng)
+        losses.update(repro_losses)
+        hm.update(repro_hm)
+
+        if self.pose_loss_weight > 0:
+            pose_loss = self.compute_pose_loss(output_dict, input_dict)
+            losses["pose_loss"] = jax.lax.stop_gradient(pose_loss)
+            total_loss = total_loss + self.pose_loss_weight * pose_loss
+
+        if self.distillation_loss_weight > 0:
+            for s in self.scales:
+                d = self.compute_distill_loss(output_dict, input_dict, s)
+                losses[f"distilation/{s}"] = jax.lax.stop_gradient(d)
+                total_loss = total_loss + d * self.distillation_loss_weight
+
+        losses["total_loss"] = jax.lax.stop_gradient(total_loss)
+        if "depth_gt" in input_dict:
+            losses = self.compute_depth_losses(input_dict, output_dict, losses)
+        if not self.is_log_image:
+            hm = {}
+        return {"loss": total_loss, "loss_dict": losses, "hm": hm}
+
+    def __call__(self, input_features, P2=None, train: bool = True):
+        """Default call = depth decoding (so ``nn.Module.init`` has a path)."""
+        return self.forward_depth(input_features, P2, train=train)
