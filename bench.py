@@ -1,0 +1,69 @@
+"""Benchmark: flagship training throughput on one TPU chip.
+
+Runs the full MonoDepthWPose training step (ResNet-18 + MultiChannelDepthDecoder
++ min-reprojection/automask/smoothness loss) at the reference's KITTI recipe
+(batch 12 @ 192x640, Adam, SURVEY.md §6 / BASELINE.md) and reports
+images/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` compares against an estimated A100 reference throughput for the
+same recipe (the reference publishes no numbers — BASELINE.md). Estimate:
+monodepth2-class ResNet-18 training at bs12@192x640 runs ~150 imgs/s on A100
+with torch 1.7 CUDA 11.1; the BASELINE.json target is >=3x that per chip.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+A100_REF_IMGS_PER_SEC = 150.0  # estimated; see module docstring
+
+BATCH = 12
+HEIGHT, WIDTH = 192, 640
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def main() -> None:
+    import jax
+    import numpy as np
+
+    import __graft_entry__ as ge
+    from fsnet_tpu.runtime.optim import build_optimizer
+    from fsnet_tpu.runtime.state import init_state, make_train_step
+
+    model = ge._flagship_model(HEIGHT, WIDTH)
+    batch = ge._synthetic_batch(BATCH, HEIGHT, WIDTH)
+    batch = jax.device_put(batch)
+
+    tx, _ = build_optimizer(dict(name="adam", lr=1e-4),
+                            dict(name="StepLR", step_size=8),
+                            steps_per_epoch=1000, clip_gradients=1.0)
+    state = init_state(model, batch, tx, jax.random.PRNGKey(0))
+    train_step = make_train_step(donate=True)
+
+    rng = jax.random.PRNGKey(1)
+    for _ in range(WARMUP_STEPS):
+        state, metrics, _ = train_step(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, metrics, _ = train_step(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * MEASURE_STEPS / elapsed
+    assert np.isfinite(float(metrics["loss"]))
+
+    print(json.dumps({
+        "metric": "train_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/s",
+        "vs_baseline": round(imgs_per_sec / A100_REF_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
