@@ -24,16 +24,25 @@ MODEL_AXIS = "model"
 
 
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
+              devices: Optional[Sequence] = None,
+              batch_size: Optional[int] = None) -> Mesh:
     """Create a (data, model) mesh over available devices; model axis defaults
-    to size 1 (pure DP, matching the reference's DDP scope)."""
+    to size 1 (pure DP, matching the reference's DDP scope).
+
+    When ``batch_size`` is given, the data axis is capped at the largest
+    divisor of the batch so sharding always divides evenly."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
     assert n % model_parallel == 0, (n, model_parallel)
-    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    n_data = n // model_parallel
+    if batch_size is not None:
+        while n_data > 1 and batch_size % n_data != 0:
+            n_data -= 1
+    devices = devices[: n_data * model_parallel]
+    grid = np.asarray(devices).reshape(n_data, model_parallel)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -1,0 +1,61 @@
+"""Training / validation step hooks.
+
+Reference: ``vision_base/pipeline_hooks/train_val_hooks/`` —
+``BaseTrainingHook:8-52`` (zero_grad -> H2D -> forward -> log -> backward ->
+clip -> step) and ``BaseValidationHook:5-28``.
+
+In the functional design the whole training-hook body is inside the jitted
+``train_step`` (``runtime/state.py``); these hook objects keep the reference's
+config surface (``cfg.trainer.training_hook`` with ``clip_gradients``) and own
+the compiled step functions plus host-side loss logging.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..runtime.state import make_eval_step, make_train_step
+from ..utils.timer import profile
+
+
+class BaseTrainingHook:
+    """Owns the jitted train step. ``clip_gradients`` is consumed by the
+    optimizer chain at build time (``runtime/optim.py``); it is stored here so
+    the runner can read it from the same config location as the reference."""
+
+    def __init__(self, tensor_keys: Optional[List[str]] = None,
+                 clip_gradients: Optional[float] = None, **kwargs):
+        self.tensor_keys = tensor_keys
+        self.clip_gradients = clip_gradients
+        self._train_step = make_train_step(donate=True)
+
+    @profile("Training hook", 0, 100)
+    def __call__(self, data: Dict, state, rng: jax.Array,
+                 training_loss_logger=None, global_step: int = 0,
+                 epoch_num: int = 0):
+        """One optimization step; returns the new state."""
+        new_state, metrics, hm = self._train_step(state, data, rng)
+        if training_loss_logger is not None:
+            host_metrics = {k: np.asarray(v) for k, v in metrics.items()
+                            if k != "loss"}
+            training_loss_logger.update(host_metrics)
+            if hm:
+                training_loss_logger.update_hm(
+                    {k: np.asarray(v) if not isinstance(v, dict)
+                     else {kk: np.asarray(vv) for kk, vv in v.items()}
+                     for k, v in hm.items()})
+        return new_state
+
+
+class BaseValidationHook:
+    """Owns the jitted eval step (reference ``base_validation_hooks.py:5-28``)."""
+
+    def __init__(self, tensor_keys: Optional[List[str]] = None, **kwargs):
+        self.tensor_keys = tensor_keys
+        self._eval_step = make_eval_step()
+
+    def __call__(self, data: Dict, state, global_step: int = 0,
+                 epoch_num: int = 0) -> Dict:
+        return self._eval_step(state, data)

@@ -46,12 +46,14 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def init_state(model, sample_batch: Dict, tx, rng: jax.Array) -> TrainState:
-    """Initialize parameters by tracing the training graph on a sample batch."""
+def init_state(model, sample_batch: Dict, tx, rng: jax.Array,
+               is_training: bool = True) -> TrainState:
+    """Initialize parameters by tracing the training (or, for eval-only use,
+    the test) graph on a sample batch."""
     params_rng, noise_rng = jax.random.split(rng)
     variables = model.init(
         {"params": params_rng, "loss_noise": noise_rng},
-        sample_batch, {"is_training": True})
+        sample_batch, {"is_training": is_training})
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

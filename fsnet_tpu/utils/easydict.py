@@ -24,12 +24,15 @@ class EasyDict(dict):
         for k, v in d.items():
             setattr(self, k, v)
         # class attributes defined by subclasses become instance items too
+        # (callables and our own helpers stay methods, not dict items)
         for k in self.__class__.__dict__:
-            if not (k.startswith("__") and k.endswith("__")) and k not in (
-                "update",
-                "pop",
-            ):
-                setattr(self, k, getattr(self, k))
+            if (k.startswith("__") and k.endswith("__")) or k in (
+                    "update", "pop", "_convert"):
+                continue
+            value = getattr(self, k)
+            if callable(value):
+                continue
+            setattr(self, k, value)
 
     @staticmethod
     def _convert(value: Any) -> Any:
