@@ -1,4 +1,9 @@
-"""Component-level timing on TPU: find where the 1.4s train step goes."""
+"""Component-level timing on TPU with forced serialization.
+
+Each component runs n iterations inside one jitted lax.fori_loop whose carry
+feeds iteration i+1, so the async axon dispatch cannot overlap or elide work —
+wall-clock/n is the true per-iteration device time.
+"""
 import time
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -15,72 +20,98 @@ from fsnet_tpu.runtime.state import init_state
 
 B, H, W = 12, 192, 640
 S, F = 4, 2
+N = 10
 
-def timeit(name, fn, *args, n=5):
-    fn_j = jax.jit(fn)
-    out = jax.block_until_ready(fn_j(*args))  # compile
+
+def timeit_loop(name, body, x0, n=N):
+    """body: x -> x (same shape/dtype); runs n chained iterations."""
+
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(0, n, lambda i, c: body(c), x)
+
+    jax.block_until_ready(run(x0))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn_j(*args)
-    jax.block_until_ready(out)
+    out = jax.block_until_ready(run(x0))
     dt = (time.perf_counter() - t0) / n * 1000
-    print(f"{name:40s} {dt:10.2f} ms")
+    print(f"{name:44s} {dt:10.2f} ms/iter", flush=True)
     return dt
+
 
 rng = np.random.RandomState(0)
 img = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
 big_img = jnp.asarray(rng.rand(S * F * B, H, W, 3).astype(np.float32))
-grid = jnp.asarray((rng.rand(S * F * B, H, W, 2) * 2 - 1).astype(np.float32))
+grid0 = jnp.asarray((rng.rand(S * F * B, H, W, 2) * 2 - 1).astype(np.float32))
 
-# 1. backbone
-bb = resnet(18, out_indices=(-1, 0, 1, 2, 3), norm_eval=False)
+# 1. backbone fwd
+bb = resnet(18, out_indices=(-1, 0, 1, 2, 3), norm_eval=True)
 bb_vars = bb.init(jax.random.PRNGKey(0), img, train=False)
-timeit("resnet18 fwd (eval)", lambda v, x: bb.apply(v, x, train=False), bb_vars, img)
 
-# 2. backbone + decoder
+def bb_body(x):
+    feats = bb.apply(bb_vars, x, train=False)
+    return x + 1e-12 * jnp.mean(feats[-1])
+timeit_loop("resnet18 fwd", bb_body, img)
+
+# 2. decoder fwd
+feats0 = bb.apply(bb_vars, img, train=False)
 dec = MultiChannelDepthDecoder(scales=(0, 1, 2, 3), num_output_channels=16,
                                min_depth=0.5, max_depth=100.0)
-feats = bb.apply(bb_vars, img, train=False)
-dec_vars = dec.init(jax.random.PRNGKey(1), feats)
-timeit("decoder fwd", lambda v, f: dec.apply(v, f), dec_vars, feats)
+dec_vars = dec.init(jax.random.PRNGKey(1), feats0, train=False)
 
-# 3. grid sample fwd
-timeit("grid_sample [96,192,640,3] fwd",
-       lambda i, g: grid_sample(i, g), big_img, grid)
+def dec_body(x):
+    feats = bb.apply(bb_vars, x, train=False)
+    outs = dec.apply(dec_vars, feats, train=False)
+    return x + 1e-12 * jnp.mean(outs[("depth", 0, 0)])
+timeit_loop("resnet18+decoder fwd", dec_body, img)
 
-# 4. grid sample grad wrt grid
-def gs_loss(g, i):
-    return jnp.sum(grid_sample(i, g))
-timeit("grid_sample grad-wrt-grid", jax.grad(gs_loss), grid, big_img)
+# 3. grid_sample fwd (96 warps of 192x640x3)
+def gs_body(g):
+    out = grid_sample(big_img, g)
+    return g + 1e-12 * jnp.mean(out)
+timeit_loop("grid_sample x96 fwd", gs_body, grid0)
+
+# 4. grid_sample fwd+bwd wrt grid
+def gs_grad_body(g):
+    gr = jax.grad(lambda gg: jnp.sum(grid_sample(big_img, gg)))(g)
+    return g + 1e-12 * gr
+timeit_loop("grid_sample x96 grad(grid)", gs_grad_body, grid0)
 
 # 5. ssim fwd
-timeit("ssim [96,...] fwd", lambda a, b: jnp.sum(ssim(a, b)), big_img,
-       jnp.roll(big_img, 1, axis=0))
+def ssim_body(x):
+    s = ssim(x, jnp.roll(x, 1, axis=0))
+    return x + 1e-12 * jnp.mean(s)
+timeit_loop("ssim x96 fwd", ssim_body, big_img)
 
-# 6. ssim fwd+bwd
-timeit("ssim grad", jax.grad(lambda a, b: jnp.sum(ssim(a, b))), big_img,
-       jnp.roll(big_img, 1, axis=0))
+# 6. ssim grad
+def ssim_grad_body(x):
+    g = jax.grad(lambda a: jnp.sum(ssim(a, big_img)))(x)
+    return x + 1e-12 * g
+timeit_loop("ssim x96 grad", ssim_grad_body, big_img)
 
-# 7. full model pieces
+# 7. full model
 model = ge._flagship_model(H, W)
 batch = jax.device_put(ge._synthetic_batch(B, H, W))
 tx, _ = build_optimizer(dict(name="adam", lr=1e-4), None, steps_per_epoch=100)
 state = init_state(model, batch, tx, jax.random.PRNGKey(0))
 
-def loss_only(params):
+
+def loss_of(params):
     out, _ = model.apply(
         {"params": params, "batch_stats": state.batch_stats}, batch,
         {"is_training": True}, rngs={"loss_noise": jax.random.PRNGKey(2)},
         mutable=["batch_stats"])
     return out["loss"]
 
-timeit("full fwd loss only", loss_only, state.params)
-timeit("full value_and_grad", lambda p: jax.value_and_grad(loss_only)(p)[0],
-       state.params)
 
-def test_fwd(params):
-    return model.apply(
-        {"params": params, "batch_stats": state.batch_stats}, batch,
-        {"is_training": False})["depth"]
-timeit("forward_test (bb+dec)", test_fwd, state.params)
-print("done")
+def loss_body(params):
+    l = loss_of(params)
+    return jax.tree.map(lambda p: p + 1e-12 * l, params)
+timeit_loop("full loss fwd", loss_body, state.params, n=5)
+
+
+def grad_body(params):
+    g = jax.grad(loss_of)(params)
+    return jax.tree.map(lambda p, gg: p - 1e-9 * gg, params, g)
+timeit_loop("full loss fwd+bwd", grad_body, state.params, n=5)
+
+print("done", flush=True)
