@@ -1,8 +1,9 @@
-"""Component-level timing on TPU with forced serialization.
+"""Component-level timing on TPU with python-level chaining.
 
-Each component runs n iterations inside one jitted lax.fori_loop whose carry
-feeds iteration i+1, so the async axon dispatch cannot overlap or elide work —
-wall-clock/n is the true per-iteration device time.
+Each iteration's input depends on the previous iteration's output, so the
+async axon dispatch cannot overlap or elide work. (fori_loop-based chaining
+compiles pathologically slowly through the remote-compile tunnel; plain
+chained dispatches compile fast and measure the same thing.)
 """
 import time
 import sys, os
@@ -23,16 +24,14 @@ S, F = 4, 2
 N = 10
 
 
-def timeit_loop(name, body, x0, n=N):
-    """body: x -> x (same shape/dtype); runs n chained iterations."""
-
-    @jax.jit
-    def run(x):
-        return jax.lax.fori_loop(0, n, lambda i, c: body(c), x)
-
-    jax.block_until_ready(run(x0))  # compile + warm
+def timeit_chain(name, body, x0, n=N):
+    """body: x -> x (same pytree structure); chained across calls."""
+    body_j = jax.jit(body)
+    x = jax.block_until_ready(body_j(x0))  # compile + warm
     t0 = time.perf_counter()
-    out = jax.block_until_ready(run(x0))
+    for _ in range(n):
+        x = body_j(x)
+    jax.block_until_ready(x)
     dt = (time.perf_counter() - t0) / n * 1000
     print(f"{name:44s} {dt:10.2f} ms/iter", flush=True)
     return dt
@@ -50,9 +49,9 @@ bb_vars = bb.init(jax.random.PRNGKey(0), img, train=False)
 def bb_body(x):
     feats = bb.apply(bb_vars, x, train=False)
     return x + 1e-12 * jnp.mean(feats[-1])
-timeit_loop("resnet18 fwd", bb_body, img)
+timeit_chain("resnet18 fwd", bb_body, img)
 
-# 2. decoder fwd
+# 2. backbone + decoder fwd
 feats0 = bb.apply(bb_vars, img, train=False)
 dec = MultiChannelDepthDecoder(scales=(0, 1, 2, 3), num_output_channels=16,
                                min_depth=0.5, max_depth=100.0)
@@ -62,31 +61,31 @@ def dec_body(x):
     feats = bb.apply(bb_vars, x, train=False)
     outs = dec.apply(dec_vars, feats, train=False)
     return x + 1e-12 * jnp.mean(outs[("depth", 0, 0)])
-timeit_loop("resnet18+decoder fwd", dec_body, img)
+timeit_chain("resnet18+decoder fwd", dec_body, img)
 
 # 3. grid_sample fwd (96 warps of 192x640x3)
 def gs_body(g):
     out = grid_sample(big_img, g)
     return g + 1e-12 * jnp.mean(out)
-timeit_loop("grid_sample x96 fwd", gs_body, grid0)
+timeit_chain("grid_sample x96 fwd", gs_body, grid0)
 
 # 4. grid_sample fwd+bwd wrt grid
 def gs_grad_body(g):
     gr = jax.grad(lambda gg: jnp.sum(grid_sample(big_img, gg)))(g)
     return g + 1e-12 * gr
-timeit_loop("grid_sample x96 grad(grid)", gs_grad_body, grid0)
+timeit_chain("grid_sample x96 grad(grid)", gs_grad_body, grid0)
 
 # 5. ssim fwd
 def ssim_body(x):
     s = ssim(x, jnp.roll(x, 1, axis=0))
     return x + 1e-12 * jnp.mean(s)
-timeit_loop("ssim x96 fwd", ssim_body, big_img)
+timeit_chain("ssim x96 fwd", ssim_body, big_img)
 
 # 6. ssim grad
 def ssim_grad_body(x):
     g = jax.grad(lambda a: jnp.sum(ssim(a, big_img)))(x)
     return x + 1e-12 * g
-timeit_loop("ssim x96 grad", ssim_grad_body, big_img)
+timeit_chain("ssim x96 grad", ssim_grad_body, big_img)
 
 # 7. full model
 model = ge._flagship_model(H, W)
@@ -106,12 +105,12 @@ def loss_of(params):
 def loss_body(params):
     l = loss_of(params)
     return jax.tree.map(lambda p: p + 1e-12 * l, params)
-timeit_loop("full loss fwd", loss_body, state.params, n=5)
+timeit_chain("full loss fwd", loss_body, state.params, n=5)
 
 
 def grad_body(params):
     g = jax.grad(loss_of)(params)
     return jax.tree.map(lambda p, gg: p - 1e-9 * gg, params, g)
-timeit_loop("full loss fwd+bwd", grad_body, state.params, n=5)
+timeit_chain("full loss fwd+bwd", grad_body, state.params, n=5)
 
 print("done", flush=True)
