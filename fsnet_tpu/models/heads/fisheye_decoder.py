@@ -21,7 +21,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from ...ops.warp import grid_sample
+from ...ops.warp_fast import grid_sample
 from ..blocks import interpolate_bilinear
 from .monodepth2_decoder import MonoDepth2Decoder
 
@@ -110,7 +110,8 @@ class FishEyeDecoder(MonoDepth2Decoder):
         grids_flat = grids.reshape(S * F * B, H, W, 2)
 
         preds = grid_sample(sources_tiled, grids_flat, mode="bilinear",
-                            padding_mode="border", align_corners=True)
+                            padding_mode="border", align_corners=True,
+                            impl=self.warp_impl, band=self.warp_band)
         preds = preds.reshape(S, F, B, H, W, C)
 
         overlap = None
@@ -123,7 +124,8 @@ class FishEyeDecoder(MonoDepth2Decoder):
                 patched[None, None, ..., None],
                 (S, F, B, H, W, 1)).reshape(S * F * B, H, W, 1)
             warped = grid_sample(patched_tiled, grids_flat, mode="nearest",
-                                 padding_mode="zeros", align_corners=True)
+                                 padding_mode="zeros", align_corners=True,
+                                 impl=self.warp_impl, band=self.warp_band)
             overlap = (warped.reshape(S, F, B, H, W) == 1.0)
 
         return preds, overlap, norms_full

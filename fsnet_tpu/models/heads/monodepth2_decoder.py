@@ -28,7 +28,7 @@ import flax.linen as nn
 from ...ops.geometry import get_smooth_loss, invert_K, make_K44, reproject
 from ...ops.metrics import compute_depth_errors_masked
 from ...ops.ssim import ssim as ssim_fn
-from ...ops.warp import grid_sample
+from ...ops.warp_fast import grid_sample
 from ...utils.builder import build
 from ..blocks import adaptive_avg_pool2d, interpolate_bilinear
 
@@ -67,6 +67,10 @@ class MonoDepth2Decoder(nn.Module):
     is_residual_flow: bool = False
     is_light_compensate: bool = False
     is_ssim_weight: bool = False
+    # TPU warp implementation: 'band' (fast, MXU two-hot) or 'gather' (exact
+    # reference formulation for arbitrary warps) — see ops/warp_fast.py
+    warp_impl: str = "band"
+    warp_band: int = 16
 
     def setup(self):
         assert self.depth_decoder_cfg is not None, "depth_decoder_cfg required"
@@ -149,7 +153,8 @@ class MonoDepth2Decoder(nn.Module):
         grids_flat = grids.reshape(S * F * B, H, W, 2)
 
         preds = grid_sample(sources_tiled, grids_flat, mode="bilinear",
-                            padding_mode="border", align_corners=True)
+                            padding_mode="border", align_corners=True,
+                            impl=self.warp_impl, band=self.warp_band)
         preds = preds.reshape(S, F, B, H, W, C)
 
         if self.is_light_compensate:
@@ -169,7 +174,8 @@ class MonoDepth2Decoder(nn.Module):
                 patched[None, None, ..., None],
                 (S, F, B, H, W, 1)).reshape(S * F * B, H, W, 1)
             warped = grid_sample(patched_tiled, grids_flat, mode="nearest",
-                                 padding_mode="zeros", align_corners=True)
+                                 padding_mode="zeros", align_corners=True,
+                                 impl=self.warp_impl, band=self.warp_band)
             overlap = (warped.reshape(S, F, B, H, W) == 1.0)
 
         return preds, overlap, depths_full
