@@ -1,0 +1,71 @@
+"""Backbone family tests: ConvNeXt + ManyDepth cost-volume encoder shapes."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fsnet_tpu.models.backbones.convnext import convNext
+from fsnet_tpu.models.backbones.resnet_matching import ResnetEncoderMatching
+
+
+def test_convnext_tiny_pyramid():
+    model = convNext("ConvNeXt-T", out_indices=(0, 1, 2, 3))
+    x = jnp.zeros((1, 64, 96, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    feats = model.apply(variables, x, train=False)
+    assert [f.shape for f in feats] == [
+        (1, 16, 24, 96), (1, 8, 12, 192), (1, 4, 6, 384), (1, 2, 3, 768)]
+
+
+def test_resnet_matching_cost_volume():
+    H, W = 64, 96
+    B, F = 2, 1
+    model = ResnetEncoderMatching(
+        depth=18, input_height=H, input_width=W,
+        min_depth_bin=0.5, max_depth_bin=20.0, num_depth_bins=12)
+
+    rng = np.random.RandomState(0)
+    current = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    lookup = jnp.asarray(rng.rand(B, F, H, W, 3).astype(np.float32))
+    poses = np.tile(np.eye(4, dtype=np.float32), (B, F, 1, 1))
+    poses[:, :, 0, 3] = 0.3
+    P2 = np.zeros((B, 3, 4), np.float32)
+    P2[:, 0, 0] = P2[:, 1, 1] = 0.58 * W
+    P2[:, 0, 2], P2[:, 1, 2], P2[:, 2, 2] = W / 2, H / 2, 1.0
+
+    variables = model.init(jax.random.PRNGKey(0), current, lookup,
+                           jnp.asarray(poses), jnp.asarray(P2), train=False)
+    feats, lowest_cost, conf = model.apply(
+        variables, current, lookup, jnp.asarray(poses), jnp.asarray(P2),
+        train=False, mutable=["batch_stats"])[0]
+
+    assert len(feats) == 5
+    assert feats[0].shape == (B, H // 2, W // 2, 64)
+    assert feats[1].shape == (B, H // 4, W // 4, 64)
+    assert feats[4].shape == (B, H // 32, W // 32, 512)
+    assert lowest_cost.shape == (B, H // 4, W // 4)
+    assert conf.shape == (B, H // 4, W // 4)
+    assert np.all(np.isfinite(np.asarray(lowest_cost)))
+
+
+def test_resnet_matching_missing_frame_skipped():
+    """Zero pose marks a missing lookup frame; cost volume must still be
+    finite and the confidence mask all-zero (no observations)."""
+    H, W = 32, 48
+    model = ResnetEncoderMatching(depth=18, input_height=H, input_width=W,
+                                  num_depth_bins=6)
+    rng = np.random.RandomState(0)
+    current = jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32))
+    lookup = jnp.asarray(rng.rand(1, 1, H, W, 3).astype(np.float32))
+    poses = jnp.zeros((1, 1, 4, 4))
+    P2 = np.zeros((1, 3, 4), np.float32)
+    P2[:, 0, 0] = P2[:, 1, 1] = 30.0
+    P2[:, 0, 2], P2[:, 1, 2], P2[:, 2, 2] = W / 2, H / 2, 1.0
+
+    variables = model.init(jax.random.PRNGKey(0), current, lookup, poses,
+                           jnp.asarray(P2), train=False)
+    (feats, lowest_cost, conf), _ = model.apply(
+        variables, current, lookup, poses, jnp.asarray(P2), train=False,
+        mutable=["batch_stats"])
+    assert np.all(np.asarray(conf) == 0)
+    assert np.all(np.isfinite(np.asarray(feats[-1])))
