@@ -140,14 +140,15 @@ class ResnetEncoderMatching(nn.Module):
         grids = jax.vmap(grid_for_depth)(warp_depths)  # [D, F, B, h, w, 2]
 
         lookup = jnp.moveaxis(lookup_feats, 1, 0)      # [F, B, h, w, C]
-        lookup_tiled = jnp.broadcast_to(
-            lookup[None], (D, F, B, h, w, C)).reshape(D * F * B, h, w, C)
-        grids_flat = grids.reshape(D * F * B, h, w, 2)
+        lookup_flat = lookup.reshape(F * B, h, w, C)
 
-        warped = grid_sample(lookup_tiled, grids_flat, mode="bilinear",
-                             padding_mode="zeros", align_corners=True,
-                             band=self.warp_band)
-        warped = warped.reshape(D, F, B, h, w, C)
+        # lax.map over depth hypotheses bounds peak memory (D x [F*B] warps)
+        def warp_bin(grids_d):
+            return grid_sample(lookup_flat, grids_d.reshape(F * B, h, w, 2),
+                               mode="bilinear", padding_mode="zeros",
+                               align_corners=True, band=self.warp_band)
+
+        warped = jax.lax.map(warp_bin, grids).reshape(D, F, B, h, w, C)
 
         # edge masks (reference :141-155)
         x_vals = (grids[..., 0] / 2 + 0.5) * (w - 1)

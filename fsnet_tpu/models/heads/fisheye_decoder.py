@@ -105,13 +105,15 @@ class FishEyeDecoder(MonoDepth2Decoder):
         sources = jnp.stack([
             input_dict[("original_image", f)] for f in frames], axis=0)
         C = sources.shape[-1]
-        sources_tiled = jnp.broadcast_to(
-            sources[None], (S, F, B, H, W, C)).reshape(S * F * B, H, W, C)
-        grids_flat = grids.reshape(S * F * B, H, W, 2)
+        sources_flat = sources.reshape(F * B, H, W, C)
 
-        preds = grid_sample(sources_tiled, grids_flat, mode="bilinear",
-                            padding_mode="border", align_corners=True,
-                            impl=self.warp_impl, band=self.warp_band)
+        def warp_scale(grids_s):
+            return grid_sample(sources_flat, grids_s.reshape(F * B, H, W, 2),
+                               mode="bilinear", padding_mode="border",
+                               align_corners=True, impl=self.warp_impl,
+                               band=self.warp_band)
+
+        preds = jax.lax.map(warp_scale, grids)
         preds = preds.reshape(S, F, B, H, W, C)
 
         overlap = None
@@ -120,12 +122,17 @@ class FishEyeDecoder(MonoDepth2Decoder):
             patched = input_dict.get(
                 "patched_mask", jnp.ones((B, H, W), dtype=preds.dtype))
             patched = patched * valid
-            patched_tiled = jnp.broadcast_to(
-                patched[None, None, ..., None],
-                (S, F, B, H, W, 1)).reshape(S * F * B, H, W, 1)
-            warped = grid_sample(patched_tiled, grids_flat, mode="nearest",
-                                 padding_mode="zeros", align_corners=True,
-                                 impl=self.warp_impl, band=self.warp_band)
+            patched_flat = jnp.broadcast_to(
+                patched[None, ..., None], (F, B, H, W, 1)
+            ).reshape(F * B, H, W, 1)
+
+            def warp_mask(grids_s):
+                return grid_sample(
+                    patched_flat, grids_s.reshape(F * B, H, W, 2),
+                    mode="nearest", padding_mode="zeros", align_corners=True,
+                    impl=self.warp_impl, band=self.warp_band)
+
+            warped = jax.lax.map(warp_mask, grids)
             overlap = (warped.reshape(S, F, B, H, W) == 1.0)
 
         return preds, overlap, norms_full

@@ -148,13 +148,17 @@ class MonoDepth2Decoder(nn.Module):
             input_dict[("original_image", f)] for f in frames
         ], axis=0)  # [F, B, H, W, C]
         C = sources.shape[-1]
-        sources_tiled = jnp.broadcast_to(
-            sources[None], (S, F, B, H, W, C)).reshape(S * F * B, H, W, C)
-        grids_flat = grids.reshape(S * F * B, H, W, 2)
+        sources_flat = sources.reshape(F * B, H, W, C)
 
-        preds = grid_sample(sources_tiled, grids_flat, mode="bilinear",
-                            padding_mode="border", align_corners=True,
-                            impl=self.warp_impl, band=self.warp_band)
+        # lax.map over scales bounds peak HBM: each chunk's band tensors are
+        # [F*B, Ho, band, W, C] instead of S x that
+        def warp_scale(grids_s):
+            return grid_sample(sources_flat, grids_s.reshape(F * B, H, W, 2),
+                               mode="bilinear", padding_mode="border",
+                               align_corners=True, impl=self.warp_impl,
+                               band=self.warp_band)
+
+        preds = jax.lax.map(warp_scale, grids)       # [S, F*B, H, W, C]
         preds = preds.reshape(S, F, B, H, W, C)
 
         if self.is_light_compensate:
@@ -170,12 +174,17 @@ class MonoDepth2Decoder(nn.Module):
             patched = input_dict.get(
                 "patched_mask",
                 jnp.ones((B, H, W), dtype=preds.dtype))  # [B, H, W]
-            patched_tiled = jnp.broadcast_to(
-                patched[None, None, ..., None],
-                (S, F, B, H, W, 1)).reshape(S * F * B, H, W, 1)
-            warped = grid_sample(patched_tiled, grids_flat, mode="nearest",
-                                 padding_mode="zeros", align_corners=True,
-                                 impl=self.warp_impl, band=self.warp_band)
+            patched_flat = jnp.broadcast_to(
+                patched[None, ..., None], (F, B, H, W, 1)
+            ).reshape(F * B, H, W, 1)
+
+            def warp_mask(grids_s):
+                return grid_sample(
+                    patched_flat, grids_s.reshape(F * B, H, W, 2),
+                    mode="nearest", padding_mode="zeros", align_corners=True,
+                    impl=self.warp_impl, band=self.warp_band)
+
+            warped = jax.lax.map(warp_mask, grids)
             overlap = (warped.reshape(S, F, B, H, W) == 1.0)
 
         return preds, overlap, depths_full

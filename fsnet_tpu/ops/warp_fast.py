@@ -13,19 +13,25 @@ bilinear warping exactly (up to a per-row vertical band bound) as:
    (bilinear x-weight) matrix over source columns. XLA fuses the iota-compare
    weight generation into the matmul operand, so the [W, Wo] weights are
    never materialized.
-3. **Vertical two-hot select**: a cheap VPU reduction over the band axis with
+3. **Vertical two-hot select**: a cheap reduction over the band axis with
    bilinear y-weights.
 
-Exactness: identical to ``grid_sample`` (border padding, align_corners=True)
-whenever each output row's vertical sample spread fits in ``band`` rows; rows
-exceeding the band clamp to its edge (configurable; depth-reprojection warps
-of driving scenes are near-epipolar, so spreads are small).
+A ``jax.custom_vjp`` computes the grid gradient with two more
+difference-weight matmuls (d out/d fx = V(x0+1) - V(x0), d out/d fy =
+H(y0+1) - H(y0)); the naive autodiff would materialize the ~30 GB one-hot
+cotangent and OOM. The sampled image is treated as a constant (its cotangent
+is zero) — correct for the photometric loss where images are inputs; pass
+``impl='gather'`` if image gradients are needed.
 
-Gradients flow through the bilinear fractional weights exactly as in the
-gather formulation; the source-image cotangent (scatter) is dead-code for the
-photometric loss (images are inputs) and XLA removes it.
+Exactness: identical to ``grid_sample`` (border/zeros padding,
+align_corners=True) whenever each output row's vertical sample spread fits in
+``band`` rows; rows exceeding the band clamp to its edge. Depth-reprojection
+warps of driving scenes are near-epipolar, so spreads are small.
 """
 from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,24 +39,11 @@ import jax.numpy as jnp
 from .warp import _unnormalize, grid_sample as grid_sample_exact
 
 
-def grid_sample_band(
-    image: jnp.ndarray,
-    grid: jnp.ndarray,
-    mode: str = "bilinear",
-    padding_mode: str = "border",
-    align_corners: bool = True,
-    band: int = 16,
-) -> jnp.ndarray:
-    """Drop-in for :func:`fsnet_tpu.ops.warp.grid_sample` (NHWC).
-
-    ``band`` bounds the per-output-row vertical sample spread (source rows).
-    """
-    assert mode in ("bilinear", "nearest"), mode
-    assert padding_mode in ("border", "zeros"), padding_mode
-    B, H, W, C = image.shape
-    _, Ho, Wo, _ = grid.shape
-    band = min(band, H)
-
+def _indices_and_weights(image_shape, grid, mode, padding_mode, align_corners,
+                         band):
+    """Shared coordinate math: integer corner indices + bilinear weights +
+    band layout. Returns a dict of [B, Ho, Wo] tensors plus ymin [B, Ho]."""
+    B, H, W, C = image_shape
     x = _unnormalize(grid[..., 0], W, align_corners)
     y = _unnormalize(grid[..., 1], H, align_corners)
 
@@ -73,63 +66,162 @@ def grid_sample_band(
         wx0, wx1 = 1.0 - fx, fx
         wy0, wy1 = 1.0 - fy, fy
 
+    vx0 = (x0f >= 0) & (x0f <= W - 1)
+    vx1 = (x0f + 1 >= 0) & (x0f + 1 <= W - 1)
+    vy0 = (y0f >= 0) & (y0f <= H - 1)
+    vy1 = (y0f + 1 >= 0) & (y0f + 1 <= H - 1)
     if padding_mode == "zeros":
         # zero each corner's weight independently (torch zeros semantics)
-        wx0 = jnp.where((x0f >= 0) & (x0f <= W - 1), wx0, 0.0)
-        wx1 = jnp.where((x0f + 1 >= 0) & (x0f + 1 <= W - 1), wx1, 0.0)
-        wy0 = jnp.where((y0f >= 0) & (y0f <= H - 1), wy0, 0.0)
-        wy1 = jnp.where((y0f + 1 >= 0) & (y0f + 1 <= H - 1), wy1, 0.0)
+        wx0 = jnp.where(vx0, wx0, 0.0)
+        wx1 = jnp.where(vx1, wx1, 0.0)
+        wy0 = jnp.where(vy0, wy0, 0.0)
+        wy1 = jnp.where(vy1, wy1, 0.0)
 
-    x0c = jnp.clip(x0f, 0, W - 1).astype(jnp.int32)  # [B, Ho, Wo]
+    x0c = jnp.clip(x0f, 0, W - 1).astype(jnp.int32)
     x1c = jnp.clip(x0f + 1, 0, W - 1).astype(jnp.int32)
     y0c = jnp.clip(y0f, 0, H - 1).astype(jnp.int32)
     y1c = jnp.clip(y0f + 1, 0, H - 1).astype(jnp.int32)
 
-    # ---- band selection per output row -------------------------------------
-    ymin = jnp.min(y0c, axis=2)                     # [B, Ho]
-    ymin = jnp.clip(ymin, 0, max(H - band, 0))
-    # d in [0, band-1]; clamp loses accuracy only when the row's spread
-    # exceeds the band
+    ymin = jnp.clip(jnp.min(y0c, axis=2), 0, max(H - band, 0))  # [B, Ho]
     d0 = jnp.clip(y0c - ymin[:, :, None], 0, band - 1)
     d1 = jnp.clip(y1c - ymin[:, :, None], 0, band - 1)
 
-    band_idx = ymin[:, :, None] + jnp.arange(band)[None, None, :]  # [B,Ho,band]
+    return dict(x0c=x0c, x1c=x1c, d0=d0, d1=d1, wx0=wx0, wx1=wx1, wy0=wy0,
+                wy1=wy1, vx0=vx0, vx1=vx1, vy0=vy0, vy1=vy1, ymin=ymin)
+
+
+def _gather_bands(image, ymin, band):
+    """[B, H, W, C] + per-output-row band start -> [B, Ho, band, W, C]."""
+    B, H, W, C = image.shape
+    Ho = ymin.shape[1]
+    band_idx = ymin[:, :, None] + jnp.arange(band)[None, None, :]
     flat_rows = image.reshape(B, H, W * C)
-    bands = jnp.take_along_axis(
+    return jnp.take_along_axis(
         flat_rows, band_idx.reshape(B, Ho * band, 1), axis=1,
     ).reshape(B, Ho, band, W, C)
 
-    # ---- horizontal two-hot contraction (MXU) ------------------------------
-    # weights Wmat[b,h,x,w] = wx0 at x0, wx1 at x0+1 — generated by iota
-    # compares that XLA fuses into the matmul operand.
-    cols = jnp.arange(W, dtype=jnp.int32)           # [W]
-    onehot0 = (cols[None, None, :, None] == x0c[:, :, None, :])
-    onehot1 = (cols[None, None, :, None] == x1c[:, :, None, :])
-    Wmat = (onehot0 * wx0[:, :, None, :] + onehot1 * wx1[:, :, None, :]
-            ).astype(image.dtype)                   # [B, Ho, W, Wo]
 
-    # [B,Ho,band*C? ] arrange so the small axes sit on sublanes:
-    # bands [B, Ho, band, W, C] -> [B, Ho, band*C, W]; contract over W.
-    bands_t = bands.transpose(0, 1, 2, 4, 3).reshape(B, Ho, band * C, W)
+def _xmat(iw, W, w0, w1):
+    """Two-hot horizontal weight matrix [B, Ho, W, Wo] (fused into the matmul
+    by XLA, never materialized)."""
+    cols = jnp.arange(W, dtype=jnp.int32)
+    oh0 = (cols[None, None, :, None] == iw["x0c"][:, :, None, :])
+    oh1 = (cols[None, None, :, None] == iw["x1c"][:, :, None, :])
+    return (oh0 * w0[:, :, None, :] + oh1 * w1[:, :, None, :])
+
+
+def _dmat(iw, band, w0, w1):
+    """Two-hot vertical weight matrix [B, Ho, band, Wo]."""
+    dr = jnp.arange(band, dtype=jnp.int32)
+    s0 = (dr[None, None, :, None] == iw["d0"][:, :, None, :])
+    s1 = (dr[None, None, :, None] == iw["d1"][:, :, None, :])
+    return (s0 * w0[:, :, None, :] + s1 * w1[:, :, None, :])
+
+
+def _warp_core(bands_t, iw, Wmat_w0, Wmat_w1, Dmat_w0, Dmat_w1, band, C, Wo):
+    """bands_t [B, Ho, band*C, W] -> out [B, Ho, Wo, C] with the given
+    horizontal/vertical weights (the two-stage contraction)."""
+    B, Ho = bands_t.shape[:2]
+    W = bands_t.shape[-1]
+    Wmat = _xmat(iw, W, Wmat_w0, Wmat_w1).astype(bands_t.dtype)
     hz = jnp.einsum("bhkw,bhwo->bhko", bands_t, Wmat,
-                    preferred_element_type=image.dtype)
-    hz = hz.reshape(B, Ho, band, C, Wo)             # [B, Ho, band, C, Wo]
+                    preferred_element_type=bands_t.dtype)
+    hz = hz.reshape(B, Ho, band, C, Wo)
+    wv = _dmat(iw, band, Dmat_w0, Dmat_w1).astype(bands_t.dtype)
+    return jnp.einsum("bhdo,bhdco->bhoc", wv, hz,
+                      preferred_element_type=bands_t.dtype)
 
-    # ---- vertical two-hot select (VPU) -------------------------------------
-    drange = jnp.arange(band, dtype=jnp.int32)      # [band]
-    sel0 = (drange[None, None, :, None] == d0[:, :, None, :])
-    sel1 = (drange[None, None, :, None] == d1[:, :, None, :])
-    wv = (sel0 * wy0[:, :, None, :] + sel1 * wy1[:, :, None, :]
-          ).astype(image.dtype)                     # [B, Ho, band, Wo]
-    out = jnp.einsum("bhdo,bhdco->bhoc", wv, hz,
-                     preferred_element_type=image.dtype)
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _grid_sample_band(image, grid, mode, padding_mode, align_corners, band):
+    out, _ = _fwd(image, grid, mode, padding_mode, align_corners, band)
     return out
+
+
+def _fwd(image, grid, mode, padding_mode, align_corners, band):
+    B, H, W, C = image.shape
+    Wo = grid.shape[2]
+    iw = _indices_and_weights(image.shape, grid, mode, padding_mode,
+                              align_corners, band)
+    bands = _gather_bands(image, iw["ymin"], band)
+    bands_t = bands.transpose(0, 1, 2, 4, 3).reshape(
+        B, grid.shape[1], band * C, W)
+    out = _warp_core(bands_t, iw, iw["wx0"], iw["wx1"], iw["wy0"], iw["wy1"],
+                     band, C, Wo)
+    return out, (image, grid)
+
+
+def _bwd(mode, padding_mode, align_corners, band, residuals, g):
+    """Grid cotangent via difference-weight matmuls; image cotangent is zero
+    (see module docstring)."""
+    image, grid = residuals
+    B, H, W, C = image.shape
+    Ho, Wo = grid.shape[1:3]
+
+    if mode == "nearest":
+        return jnp.zeros_like(image), jnp.zeros_like(grid)
+
+    iw = _indices_and_weights(image.shape, grid, mode, padding_mode,
+                              align_corners, band)
+    bands = _gather_bands(image, iw["ymin"], band)
+    bands_t = bands.transpose(0, 1, 2, 4, 3).reshape(B, Ho, band * C, W)
+
+    one = jnp.ones_like(iw["wx0"])
+    if padding_mode == "zeros":
+        mx0 = iw["vx0"].astype(g.dtype)
+        mx1 = iw["vx1"].astype(g.dtype)
+        my0 = iw["vy0"].astype(g.dtype)
+        my1 = iw["vy1"].astype(g.dtype)
+    else:
+        mx0 = mx1 = my0 = my1 = one
+
+    # d out / d fx = V(x1) - V(x0) (per-corner-validity aware)
+    dVdfx = _warp_core(bands_t, iw, -mx0, mx1, iw["wy0"], iw["wy1"],
+                       band, C, Wo)
+    # d out / d fy = H(y1) - H(y0)
+    dVdfy = _warp_core(bands_t, iw, iw["wx0"], iw["wx1"], -my0, my1,
+                       band, C, Wo)
+
+    gfx = jnp.sum(g * dVdfx, axis=-1)
+    gfy = jnp.sum(g * dVdfy, axis=-1)
+
+    # chain to normalized grid coords (+ border-clamp zeroing)
+    if align_corners:
+        sx = (W - 1) / 2.0
+        sy = (H - 1) / 2.0
+    else:
+        sx = W / 2.0
+        sy = H / 2.0
+    if padding_mode == "border":
+        x = _unnormalize(grid[..., 0], W, align_corners)
+        y = _unnormalize(grid[..., 1], H, align_corners)
+        gfx = jnp.where((x > 0) & (x < W - 1), gfx, 0.0)
+        gfy = jnp.where((y > 0) & (y < H - 1), gfy, 0.0)
+    ggrid = jnp.stack([gfx * sx, gfy * sy], axis=-1)
+    return jnp.zeros_like(image), ggrid
+
+
+_grid_sample_band.defvjp(_fwd, _bwd)
+
+
+def grid_sample_band(image, grid, mode="bilinear", padding_mode="border",
+                     align_corners=True, band=16):
+    """Drop-in for :func:`fsnet_tpu.ops.warp.grid_sample` (NHWC).
+
+    ``band`` bounds the per-output-row vertical sample spread (source rows).
+    """
+    assert mode in ("bilinear", "nearest"), mode
+    assert padding_mode in ("border", "zeros"), padding_mode
+    H = image.shape[1]
+    return _grid_sample_band(image, grid, mode, padding_mode, align_corners,
+                             min(band, H))
 
 
 def grid_sample(image, grid, mode="bilinear", padding_mode="border",
                 align_corners=True, impl="band", band=16):
-    """Dispatcher: ``impl='band'`` (TPU-fast, default) or ``impl='gather'``
-    (exact reference formulation, any warp)."""
+    """Dispatcher: ``impl='band'`` (TPU-fast, default; image treated as
+    constant under autodiff) or ``impl='gather'`` (exact reference
+    formulation, any warp, full gradients)."""
     if impl == "gather":
         return grid_sample_exact(image, grid, mode=mode,
                                  padding_mode=padding_mode,

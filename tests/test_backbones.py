@@ -69,3 +69,28 @@ def test_resnet_matching_missing_frame_skipped():
         mutable=["batch_stats"])
     assert np.all(np.asarray(conf) == 0)
     assert np.all(np.isfinite(np.asarray(feats[-1])))
+
+
+def test_swin_tiny_pyramid():
+    from fsnet_tpu.models.backbones.swin_transformer import swinTransformer
+    # window-divisible resolutions required (as in the torch reference)
+    model = swinTransformer("Swin-T", window_size=3, drop_path_rate=0.0,
+                            output_indices=(0, 1, 2, 3))
+    x = jnp.zeros((1, 96, 96, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    feats = model.apply(variables, x, train=False)
+    # scales: 1/4 (embed), 1/8, 1/16, 1/32 (last stage has no merge)
+    assert feats[0].shape == (1, 24, 24, 96)
+    assert feats[1].shape == (1, 12, 12, 192)
+    assert feats[2].shape == (1, 6, 6, 384)
+    assert feats[3].shape == (1, 3, 3, 768)
+
+
+def test_vit_single_scale():
+    from fsnet_tpu.models.backbones.vit import vit
+    model = vit("B_16", num_layers=2, dropout_rate=0.0)
+    x = jnp.zeros((1, 64, 96, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    feats = model.apply(variables, x, train=False)
+    assert len(feats) == 1
+    assert feats[0].shape == (1, 4, 6, 768)

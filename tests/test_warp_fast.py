@@ -70,3 +70,16 @@ def test_band_gradients_match_exact():
         grid_sample_band(img, g, band=12) ** 2))(grid)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_exact),
                                atol=1e-4)
+
+
+def test_band_gradients_match_exact_zeros_padding():
+    B, H, W, C = 1, 24, 32, 1
+    img = jnp.asarray(RNG.rand(B, H, W, C).astype(np.float32))
+    grid = jnp.asarray(_warp_grid(B, H, W, max_dy=2.0, max_dx=6.0,
+                                  beyond_border=True))
+    g_exact = jax.grad(lambda g: jnp.sum(
+        gs_exact(img, g, padding_mode="zeros") ** 2))(grid)
+    g_fast = jax.grad(lambda g: jnp.sum(
+        grid_sample_band(img, g, padding_mode="zeros", band=12) ** 2))(grid)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_exact),
+                               atol=1e-4)
