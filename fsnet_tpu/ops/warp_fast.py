@@ -132,13 +132,16 @@ def _warp_core(bands_t, iw, Wmat_w0, Wmat_w1, Dmat_w0, Dmat_w1, band, C, Wo):
                       preferred_element_type=bands_t.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _grid_sample_band(image, grid, mode, padding_mode, align_corners, band):
-    out, _ = _fwd(image, grid, mode, padding_mode, align_corners, band)
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _grid_sample_band(image, grid, mode, padding_mode, align_corners, band,
+                      image_grad):
+    out, _ = _fwd(image, grid, mode, padding_mode, align_corners, band,
+                  image_grad)
     return out
 
 
-def _fwd(image, grid, mode, padding_mode, align_corners, band):
+def _fwd(image, grid, mode, padding_mode, align_corners, band,
+         image_grad=False):
     B, H, W, C = image.shape
     Wo = grid.shape[2]
     iw = _indices_and_weights(image.shape, grid, mode, padding_mode,
@@ -151,18 +154,40 @@ def _fwd(image, grid, mode, padding_mode, align_corners, band):
     return out, (image, grid)
 
 
-def _bwd(mode, padding_mode, align_corners, band, residuals, g):
-    """Grid cotangent via difference-weight matmuls; image cotangent is zero
-    (see module docstring)."""
+def _bwd(mode, padding_mode, align_corners, band, image_grad, residuals, g):
+    """Grid cotangent via difference-weight matmuls. The image cotangent is
+    computed (transposed matmuls + band row-scatter) only when ``image_grad``
+    is set; the photometric loss treats images as constants."""
     image, grid = residuals
     B, H, W, C = image.shape
     Ho, Wo = grid.shape[1:3]
 
-    if mode == "nearest":
-        return jnp.zeros_like(image), jnp.zeros_like(grid)
-
     iw = _indices_and_weights(image.shape, grid, mode, padding_mode,
                               align_corners, band)
+
+    def image_cotangent():
+        # d out/d bands: transpose the two contractions, then scatter the
+        # band rows back into image rows (row-granular, gather-speed class)
+        wv = _dmat(iw, band, iw["wy0"], iw["wy1"]).astype(g.dtype)
+        dhz = jnp.einsum("bhdo,bhoc->bhdco", wv, g)       # [B,Ho,band,C,Wo]
+        Wmat = _xmat(iw, W, iw["wx0"], iw["wx1"]).astype(g.dtype)
+        dbands_t = jnp.einsum("bhko,bhwo->bhkw",
+                              dhz.reshape(B, Ho, band * C, Wo), Wmat,
+                              preferred_element_type=g.dtype)
+        dbands = dbands_t.reshape(B, Ho, band, C, W).transpose(0, 1, 2, 4, 3)
+        band_idx = (iw["ymin"][:, :, None]
+                    + jnp.arange(band)[None, None, :]).reshape(B, Ho * band)
+        flat = jnp.zeros((B, H, W * C), g.dtype)
+        flat = flat.at[
+            jnp.arange(B)[:, None], band_idx].add(
+                dbands.reshape(B, Ho * band, W * C))
+        return flat.reshape(B, H, W, C)
+
+    dimage = image_cotangent() if image_grad else jnp.zeros_like(image)
+
+    if mode == "nearest":
+        return dimage, jnp.zeros_like(grid)
+
     bands = _gather_bands(image, iw["ymin"], band)
     bands_t = bands.transpose(0, 1, 2, 4, 3).reshape(B, Ho, band * C, W)
 
@@ -185,6 +210,7 @@ def _bwd(mode, padding_mode, align_corners, band, residuals, g):
     gfx = jnp.sum(g * dVdfx, axis=-1)
     gfy = jnp.sum(g * dVdfy, axis=-1)
 
+
     # chain to normalized grid coords (+ border-clamp zeroing)
     if align_corners:
         sx = (W - 1) / 2.0
@@ -198,14 +224,14 @@ def _bwd(mode, padding_mode, align_corners, band, residuals, g):
         gfx = jnp.where((x > 0) & (x < W - 1), gfx, 0.0)
         gfy = jnp.where((y > 0) & (y < H - 1), gfy, 0.0)
     ggrid = jnp.stack([gfx * sx, gfy * sy], axis=-1)
-    return jnp.zeros_like(image), ggrid
+    return dimage, ggrid
 
 
 _grid_sample_band.defvjp(_fwd, _bwd)
 
 
 def grid_sample_band(image, grid, mode="bilinear", padding_mode="border",
-                     align_corners=True, band=16):
+                     align_corners=True, band=16, image_grad=False):
     """Drop-in for :func:`fsnet_tpu.ops.warp.grid_sample` (NHWC).
 
     ``band`` bounds the per-output-row vertical sample spread (source rows).
@@ -214,11 +240,11 @@ def grid_sample_band(image, grid, mode="bilinear", padding_mode="border",
     assert padding_mode in ("border", "zeros"), padding_mode
     H = image.shape[1]
     return _grid_sample_band(image, grid, mode, padding_mode, align_corners,
-                             min(band, H))
+                             min(band, H), image_grad)
 
 
 def grid_sample(image, grid, mode="bilinear", padding_mode="border",
-                align_corners=True, impl="band", band=16):
+                align_corners=True, impl="band", band=16, image_grad=False):
     """Dispatcher: ``impl='band'`` (TPU-fast, default; image treated as
     constant under autodiff) or ``impl='gather'`` (exact reference
     formulation, any warp, full gradients)."""
@@ -227,4 +253,5 @@ def grid_sample(image, grid, mode="bilinear", padding_mode="border",
                                  padding_mode=padding_mode,
                                  align_corners=align_corners)
     return grid_sample_band(image, grid, mode=mode, padding_mode=padding_mode,
-                            align_corners=align_corners, band=band)
+                            align_corners=align_corners, band=band,
+                            image_grad=image_grad)
