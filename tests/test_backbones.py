@@ -94,3 +94,31 @@ def test_vit_single_scale():
     feats = model.apply(variables, x, train=False)
     assert len(feats) == 1
     assert feats[0].shape == (1, 4, 6, 768)
+
+
+def test_dla34_pyramid():
+    from fsnet_tpu.models.backbones.dla import dlanet
+    model = dlanet(34, out_indices=(-1, 0, 1, 2, 3, 4, 5))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    feats = model.apply(variables, x, train=False)
+    shapes = [f.shape for f in feats]
+    assert shapes == [
+        (1, 64, 64, 16), (1, 64, 64, 16), (1, 32, 32, 32), (1, 16, 16, 64),
+        (1, 8, 8, 128), (1, 4, 4, 256), (1, 2, 2, 512)]
+
+
+def test_dla_seg_upsample():
+    from fsnet_tpu.models.backbones.dla import dlanet
+    from fsnet_tpu.models.backbones.dla_utils import DLASegUpsample
+    trunk = dlanet(34, out_indices=(0, 1, 2, 3, 4, 5))
+    x = jnp.zeros((1, 64, 64, 3))
+    tv = trunk.init(jax.random.PRNGKey(0), x, train=False)
+    feats = trunk.apply(tv, x, train=False)
+
+    head = DLASegUpsample(input_channels=(16, 32, 64, 128, 256, 512),
+                          down_ratio=4, last_level=5)
+    hv = head.init(jax.random.PRNGKey(1), feats, train=False)
+    out = head.apply(hv, feats, train=False,
+                     mutable=["batch_stats"])[0]
+    assert out.shape == (1, 16, 16, 64)  # 1/4 resolution, first_level channels
