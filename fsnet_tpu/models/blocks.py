@@ -203,38 +203,40 @@ def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(B, H * 2, W * 2, C)
 
 
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool,
+                   dtype) -> jnp.ndarray:
+    """Dense 1D bilinear interpolation matrix [out, in] (two-hot rows)."""
+    if align_corners and out_size > 1 and in_size > 1:
+        pos = jnp.linspace(0.0, in_size - 1.0, out_size, dtype=dtype)
+    else:
+        pos = (jnp.arange(out_size, dtype=dtype) + 0.5) * (in_size / out_size) - 0.5
+        pos = jnp.clip(pos, 0.0, in_size - 1.0)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, in_size - 1)
+    f = pos - i0.astype(dtype)
+    cols = jnp.arange(in_size)
+    m = ((cols[None, :] == i0[:, None]) * (1.0 - f[:, None])
+         + (cols[None, :] == i1[:, None]) * f[:, None])
+    return m.astype(dtype)
+
+
 def interpolate_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
                          align_corners: bool = True) -> jnp.ndarray:
     """Bilinear resize matching ``F.interpolate(..., align_corners=True/False)``.
 
     Used to upsample per-scale depth to full resolution
-    (reference ``monodepth2_decoder.py:63-64``).
+    (reference ``monodepth2_decoder.py:63-64``). Axis-aligned resizing is
+    separable, so it runs as two small dense matmuls on the MXU instead of
+    per-pixel gathers (which XLA lowers very slowly on TPU).
     """
     B, H, W, C = x.shape
     dtype = x.dtype
-    if align_corners and out_h > 1 and out_w > 1:
-        ys = jnp.linspace(0.0, H - 1.0, out_h, dtype=dtype)
-        xs = jnp.linspace(0.0, W - 1.0, out_w, dtype=dtype)
-    else:
-        ys = (jnp.arange(out_h, dtype=dtype) + 0.5) * (H / out_h) - 0.5
-        xs = (jnp.arange(out_w, dtype=dtype) + 0.5) * (W / out_w) - 0.5
-        ys = jnp.clip(ys, 0.0, H - 1.0)
-        xs = jnp.clip(xs, 0.0, W - 1.0)
-
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, H - 1)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    wy = (ys - y0.astype(dtype))[None, :, None, None]
-    wx = (xs - x0.astype(dtype))[None, None, :, None]
-
-    g = x[:, y0][:, :, x0]  # [B, out_h, out_w, C]
-    gx1 = x[:, y0][:, :, x1]
-    gy1 = x[:, y1][:, :, x0]
-    gxy = x[:, y1][:, :, x1]
-    top = g * (1 - wx) + gx1 * wx
-    bot = gy1 * (1 - wx) + gxy * wx
-    return top * (1 - wy) + bot * wy
+    Ay = _interp_matrix(H, out_h, align_corners, dtype)   # [out_h, H]
+    Ax = _interp_matrix(W, out_w, align_corners, dtype)   # [out_w, W]
+    x = jnp.einsum("oh,bhwc->bowc", Ay, x,
+                   preferred_element_type=dtype)
+    return jnp.einsum("pw,bowc->bopc", Ax, x,
+                      preferred_element_type=dtype)
 
 
 def adaptive_avg_pool2d(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
