@@ -48,6 +48,6 @@ class FusionPortableEvaluator(KittiEigenEvaluator):
             gt_depths.append(project_depth_map(
                 lidar, P_ouster2img, image_shape).astype(np.float32))
 
-        np.savez_compressed(gt_saved_file,
-                            data=np.array(gt_depths, dtype=object))
+        from .kitti_unsupervised_eval import _object_array
+        np.savez_compressed(gt_saved_file, data=_object_array(gt_depths))
         self.gt_depths = gt_depths

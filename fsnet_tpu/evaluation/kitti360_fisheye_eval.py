@@ -55,8 +55,9 @@ class Kitti360FisheyeEvaluator(KittiEigenEvaluator):
         )
 
     def single_call(self, depth_0, index):
-        return self._single_loss(depth_0, self.gt_depths[index],
-                                 self.close_masks[index])
+        return self._single_loss(
+            depth_0, np.asarray(self.gt_depths[index], dtype=np.float64),
+            np.asarray(self.close_masks[index], dtype=bool))
 
     def _single_loss(self, depth_0, gt_depth, close_mask):
         gt_height, gt_width = gt_depth.shape[:2]
@@ -145,8 +146,8 @@ class Kitti360FisheyeEvaluator(KittiEigenEvaluator):
             masks.append(((gt_norm > 0) & (gt_norm < 8)).astype(bool))
             gt_depths.append(gt_depth.astype(np.float32))
 
-        np.savez_compressed(gt_saved_file,
-                            data=np.array(gt_depths, dtype=object),
-                            close_masks=np.array(masks, dtype=object))
+        from .kitti_unsupervised_eval import _object_array
+        np.savez_compressed(gt_saved_file, data=_object_array(gt_depths),
+                            close_masks=_object_array(masks))
         self.gt_depths = gt_depths
         self.close_masks = masks

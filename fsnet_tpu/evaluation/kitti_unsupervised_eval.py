@@ -21,6 +21,15 @@ from ..data.datasets.kitti360_dataset import (
 from ..ops.metrics import compute_errors
 from .lidar_projection import generate_depth_map, project_depth_map
 
+def _object_array(arrays):
+    """Ragged-safe container for per-frame GT maps (np.array(..., dtype=object)
+    silently creates per-SCALAR object arrays when shapes are uniform)."""
+    out = np.empty(len(arrays), dtype=object)
+    for i, a in enumerate(arrays):
+        out[i] = np.asarray(a)
+    return out
+
+
 
 class KittiEigenEvaluator:
     """Reference ``kitti_unsupervised_eval.py:11-161``."""
@@ -50,7 +59,7 @@ class KittiEigenEvaluator:
             gt_depths.append(
                 generate_depth_map(calib_dir, velo_filename, 2, True)
                 .astype(np.float32))
-        np.savez_compressed(gt_saved_file, data=np.array(gt_depths, dtype=object))
+        np.savez_compressed(gt_saved_file, data=_object_array(gt_depths))
         self.gt_depths = gt_depths
 
     def _single_loss(self, depth_0: np.ndarray, gt_depth: np.ndarray):
@@ -81,7 +90,9 @@ class KittiEigenEvaluator:
         return dict(ratio=ratio, error=error, abs_error=abs_error)
 
     def single_call(self, depth_0: np.ndarray, index: int):
-        return self._single_loss(depth_0, self.gt_depths[index])
+        return self._single_loss(depth_0,
+                                 np.asarray(self.gt_depths[index],
+                                            dtype=np.float64))
 
     def log(self, writer, mean_errors, mean_abs_errors, global_step=0,
             epoch_num=0, is_print=True):
@@ -167,5 +178,5 @@ class Kitti360Evaluator(KittiEigenEvaluator):
             gt_depths.append(
                 project_depth_map(velo, P_velo2img, image_shape)
                 .astype(np.float32))
-        np.savez_compressed(gt_saved_file, data=np.array(gt_depths, dtype=object))
+        np.savez_compressed(gt_saved_file, data=_object_array(gt_depths))
         self.gt_depths = gt_depths
