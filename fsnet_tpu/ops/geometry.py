@@ -115,9 +115,11 @@ def invert_K(K: jnp.ndarray) -> jnp.ndarray:
     upper-left 3x3 is the pinhole K (fx, fy, cx, cy with possible skew).
 
     Replaces the reference's CPU ``np.linalg.pinv`` host sync
-    (``monodepth2_decoder.py:82-85``) with an in-graph 4x4 solve.
+    (``monodepth2_decoder.py:82-85``) with an in-graph 4x4 solve. Always
+    solved in f32 (linalg has no bf16 kernels and a 4x4 inverse needs the
+    precision anyway); callers downcast as needed.
     """
-    return jnp.linalg.inv(K)
+    return jnp.linalg.inv(K.astype(jnp.float32))
 
 
 def make_K44(P: jnp.ndarray) -> jnp.ndarray:
@@ -172,9 +174,12 @@ def reproject(depth: jnp.ndarray, K: jnp.ndarray, inv_K: jnp.ndarray,
     XLA tiles best on the MXU.
     """
     B, H, W, _ = depth.shape
-    P = jnp.matmul(K, T)[:, :3, :]          # [B, 3, 4]
-    A = jnp.matmul(P[:, :, :3], inv_K[:, :3, :3])  # [B, 3, 3] applies to depth*grid
-    b = P[:, :, 3]                           # [B, 3] constant term
+    # camera-matrix algebra in f32 (jnp.linalg.inv upcasts anyway); only the
+    # per-pixel work runs in the compute dtype
+    P = jnp.matmul(K.astype(jnp.float32), T.astype(jnp.float32))[:, :3, :]
+    A = jnp.matmul(P[:, :, :3], inv_K[:, :3, :3].astype(jnp.float32))
+    A = A.astype(depth.dtype)
+    b = P[:, :, 3].astype(depth.dtype)       # [B, 3] constant term
     grid = pixel_grid(H, W, dtype=depth.dtype)
     cam = jnp.einsum("bij,hwj->bhwi", A, grid) * depth + b[:, None, None, :]
     pix = cam[..., :2] / (cam[..., 2:3] + 1e-7)

@@ -186,7 +186,7 @@ def _bwd(mode, padding_mode, align_corners, band, image_grad, residuals, g):
     dimage = image_cotangent() if image_grad else jnp.zeros_like(image)
 
     if mode == "nearest":
-        return dimage, jnp.zeros_like(grid)
+        return dimage.astype(image.dtype), jnp.zeros_like(grid)
 
     bands = _gather_bands(image, iw["ymin"], band)
     bands_t = bands.transpose(0, 1, 2, 4, 3).reshape(B, Ho, band * C, W)
@@ -223,8 +223,10 @@ def _bwd(mode, padding_mode, align_corners, band, image_grad, residuals, g):
         y = _unnormalize(grid[..., 1], H, align_corners)
         gfx = jnp.where((x > 0) & (x < W - 1), gfx, 0.0)
         gfy = jnp.where((y > 0) & (y < H - 1), gfy, 0.0)
-    ggrid = jnp.stack([gfx * sx, gfy * sy], axis=-1)
-    return dimage, ggrid
+    # cotangents must match the primal dtypes (mixed-precision: out may be
+    # bf16 while grid/image are f32)
+    ggrid = jnp.stack([gfx * sx, gfy * sy], axis=-1).astype(grid.dtype)
+    return dimage.astype(image.dtype), ggrid
 
 
 _grid_sample_band.defvjp(_fwd, _bwd)

@@ -62,22 +62,39 @@ def init_state(model, sample_batch: Dict, tx, rng: jax.Array,
     )
 
 
-def make_train_step(donate: bool = True):
+def make_train_step(donate: bool = True, compute_dtype=None):
     """Build the jitted train step. Returns
     ``train_step(state, batch, rng) -> (state, metrics)`` where metrics is the
-    scalar loss dict (reference ``loss_dict``) plus the heatmap dict."""
+    scalar loss dict (reference ``loss_dict``) plus the heatmap dict.
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) enables mixed precision: master
+    parameters stay f32, the forward/backward runs in the compute dtype
+    (bf16 doubles MXU throughput and halves HBM traffic on TPU), and the loss
+    is accumulated in f32."""
+
+    def _cast(tree, dtype):
+        return jax.tree.map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         noise_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
+            if compute_dtype is not None:
+                params_c = _cast(params, compute_dtype)
+                batch_c = _cast(batch, compute_dtype)
+                stats_c = _cast(state.batch_stats, compute_dtype)
+            else:
+                params_c, batch_c = params, batch
+                stats_c = state.batch_stats
             out, mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, {"is_training": True},
+                {"params": params_c, "batch_stats": stats_c},
+                batch_c, {"is_training": True},
                 rngs={"loss_noise": noise_rng},
                 mutable=["batch_stats"],
             )
-            return out["loss"], (out, mutated)
+            return out["loss"].astype(jnp.float32), (out, mutated)
 
         (loss, (out, mutated)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -85,10 +102,13 @@ def make_train_step(donate: bool = True):
         updates, new_opt_state = state.tx.update(grads, state.opt_state,
                                                  state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_batch_stats = mutated.get("batch_stats", state.batch_stats)
+        if compute_dtype is not None:
+            new_batch_stats = _cast(new_batch_stats, jnp.float32)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
-            batch_stats=mutated.get("batch_stats", state.batch_stats),
+            batch_stats=new_batch_stats,
             opt_state=new_opt_state,
         )
         metrics = dict(out["loss_dict"])

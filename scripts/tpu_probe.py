@@ -2,6 +2,7 @@
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 import sys, os
@@ -19,7 +20,10 @@ state = init_state(model, batch, tx, jax.random.PRNGKey(0))
 print("devices:", jax.devices())
 print("param count:", sum(x.size for x in jax.tree.leaves(state.params)))
 
-step = make_train_step(donate=False)
+import os
+compute_dtype = jnp.bfloat16 if os.environ.get("FSNET_BF16") else None
+print("compute_dtype:", compute_dtype)
+step = make_train_step(donate=False, compute_dtype=compute_dtype)
 rng = jax.random.PRNGKey(1)
 
 for i in range(8):
