@@ -15,16 +15,25 @@ _C2 = 0.03 ** 2
 
 def _avg_pool_same(x: jnp.ndarray, kernel_size: int, padding: int) -> jnp.ndarray:
     """Reflection-pad then kernel_size x kernel_size mean pool, stride 1 (the
-    reference's ``nn.ReflectionPad2d`` + ``nn.AvgPool2d(k, 1)`` pair)."""
+    reference's ``nn.ReflectionPad2d`` + ``nn.AvgPool2d(k, 1)`` pair).
+
+    Implemented as two separable 1D depthwise convolutions: XLA's conv
+    transpose (backward) is much faster on TPU than reduce_window's, and the
+    SSIM backward is on the training hot path."""
     x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
                 mode="reflect")
-    summed = lax.reduce_window(
-        x, 0.0, lax.add,
-        window_dimensions=(1, kernel_size, kernel_size, 1),
-        window_strides=(1, 1, 1, 1),
-        padding="VALID",
-    )
-    return summed / (kernel_size * kernel_size)
+    C = x.shape[-1]
+    inv_k = 1.0 / kernel_size
+    kernel_h = jnp.full((kernel_size, 1, 1, 1), inv_k, dtype=x.dtype)
+    kernel_w = jnp.full((1, kernel_size, 1, 1), inv_k, dtype=x.dtype)
+    kernel_h = jnp.tile(kernel_h, (1, 1, 1, C))
+    kernel_w = jnp.tile(kernel_w, (1, 1, 1, C))
+    dn = ("NHWC", "HWIO", "NHWC")
+    x = lax.conv_general_dilated(x, kernel_h, (1, 1), "VALID",
+                                 dimension_numbers=dn, feature_group_count=C)
+    return lax.conv_general_dilated(x, kernel_w, (1, 1), "VALID",
+                                    dimension_numbers=dn,
+                                    feature_group_count=C)
 
 
 def ssim(x: jnp.ndarray, y: jnp.ndarray, kernel_size: int = 3,
