@@ -1,0 +1,69 @@
+"""KITTI raw wpose training config (reference ``configs/kitti_wpose_example``:
+bs 12 @ 192x640, 20 epochs, Adam 1e-4, StepLR(15), clip 35.0, Eigen eval)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from easydict import EasyDict as edict
+
+from common import build_path, trainer_section, wpose_augmentation, wpose_meta_arch
+
+cfg = edict()
+cfg.path = build_path("Kitti_MonoDepth2WPose", kitti_path="/data/kitti_raw")
+
+data = edict(
+    batch_size=12,
+    num_workers=4,
+    rgb_shape=(192, 640, 3),
+    frame_idxs=[0, 1, -1],
+)
+
+cfg.trainer = trainer_section(
+    clip_gradients=35.0,
+    evaluate_hook=edict(
+        name="fsnet_tpu.pipeline_hooks.evaluation_hooks.KittiEvaluationHook",
+        test_run_hook_cfg=edict(
+            name="fsnet_tpu.pipeline_hooks.train_val_hooks.BaseValidationHook"),
+        preprocessed_path=cfg.path.preprocessed_path,
+        dataset_eval_cfg=edict(
+            name="fsnet_tpu.evaluation.kitti_unsupervised_eval.KittiEigenEvaluator",
+            data_path=cfg.path.kitti_path,
+            split_file=os.path.join(cfg.path.base_path, "meta_data", "eigen",
+                                    "test_files.txt"),
+            gt_saved_file=os.path.join(cfg.path.base_path, "meta_data",
+                                       "eigen", "gt_depths.npz"),
+        ),
+    ),
+)
+cfg.trainer.max_epochs = 20
+
+cfg.optimizer = edict(name="adam", lr=1e-4, weight_decay=0)
+cfg.scheduler = edict(name="StepLR", step_size=15)
+
+cfg.train_dataset = edict(
+    name="fsnet_tpu.data.datasets.dataset_utils.ConcatDataset",
+    frame_idxs=data.frame_idxs,
+    is_motion_mask=False,
+    is_precompute_flow=False,
+    is_filter_static=True,
+    cfg_list=[
+        edict(
+            name="fsnet_tpu.data.datasets.mono_dataset.KittiDepthMonoDataset",
+            raw_path=cfg.path.kitti_path,
+            split_file=os.path.join(cfg.path.base_path, "meta_data",
+                                    "eigen_zhou", "train_files.txt"),
+        ),
+    ],
+    augmentation=wpose_augmentation(data, data.frame_idxs, train=True),
+)
+
+cfg.val_dataset = edict(
+    name="fsnet_tpu.data.datasets.mono_dataset.KittiDepthMonoEigenTestDataset",
+    raw_path=cfg.path.kitti_path,
+    split_file=os.path.join(cfg.path.base_path, "meta_data", "eigen",
+                            "test_files.txt"),
+    augmentation=wpose_augmentation(data, data.frame_idxs, train=False),
+)
+
+cfg.data = data
+cfg.meta_arch = wpose_meta_arch(data, min_depth=0.5, max_depth=100.0)
