@@ -271,3 +271,30 @@ def max_pool_3x3_s2_p1(x: jnp.ndarray) -> jnp.ndarray:
         window_strides=(1, 2, 2, 1),
         padding=((0, 0), (1, 1), (1, 1), (0, 0)),
     )
+
+
+class DeDict(nn.Module):
+    """Extract one entry from a dict output (reference ``blocks.py:22-31``)."""
+
+    name_key: str = "features"
+
+    def __call__(self, x):
+        return x[self.name_key]
+
+
+def to_ntuple(n: int):
+    """Int -> n-tuple helper family (reference ``vision_base/networks/utils/
+    maths.py`` ``to_1tuple``..``to_4tuple``)."""
+
+    def parse(x):
+        if isinstance(x, (tuple, list)):
+            return tuple(x)
+        return tuple([x] * n)
+
+    return parse
+
+
+to_1tuple = to_ntuple(1)
+to_2tuple = to_ntuple(2)
+to_3tuple = to_ntuple(3)
+to_4tuple = to_ntuple(4)

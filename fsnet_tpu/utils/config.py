@@ -81,3 +81,11 @@ def set_random_seed(seed: int, deterministic: bool = False) -> None:
     del deterministic  # XLA is deterministic by default for a fixed program
     random.seed(seed)
     np.random.seed(seed)
+
+
+def get_num_parameters(params) -> int:
+    """Count trainable parameters of a flax param tree (reference
+    ``vision_base/utils/utils.py:12-19``; DDP unwrapping is moot here)."""
+    import jax
+
+    return sum(int(x.size) for x in jax.tree.leaves(params))
