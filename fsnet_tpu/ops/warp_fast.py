@@ -101,35 +101,35 @@ def _gather_bands(image, ymin, band):
     ).reshape(B, Ho, band, W, C)
 
 
-def _xmat(iw, W, w0, w1):
-    """Two-hot horizontal weight matrix [B, Ho, W, Wo] (fused into the matmul
-    by XLA, never materialized)."""
-    cols = jnp.arange(W, dtype=jnp.int32)
-    oh0 = (cols[None, None, :, None] == iw["x0c"][:, :, None, :])
-    oh1 = (cols[None, None, :, None] == iw["x1c"][:, :, None, :])
-    return (oh0 * w0[:, :, None, :] + oh1 * w1[:, :, None, :])
+def _warp_core(bands_w, iw, wx0, wx1, wy0, wy1, band, C, Wo):
+    """bands_w [B, Ho, W, band*C] -> out [B, Ho, Wo, C] with the given
+    horizontal/vertical corner weights.
 
+    Structured so each contraction has a PURE ``jax.nn.one_hot`` operand with
+    classes on its last axis — the layout XLA recognizes and lowers at
+    gather-class speed (measured ~10x faster than composite two-hot operands,
+    ``scripts/tpu_gather_bench.py`` v6). The bilinear fractions factor out of
+    the contraction because each one-hot selects a single column.
+    """
+    dtype = bands_w.dtype
+    B, Ho, W, _ = bands_w.shape
 
-def _dmat(iw, band, w0, w1):
-    """Two-hot vertical weight matrix [B, Ho, band, Wo]."""
-    dr = jnp.arange(band, dtype=jnp.int32)
-    s0 = (dr[None, None, :, None] == iw["d0"][:, :, None, :])
-    s1 = (dr[None, None, :, None] == iw["d1"][:, :, None, :])
-    return (s0 * w0[:, :, None, :] + s1 * w1[:, :, None, :])
+    oh0 = jax.nn.one_hot(iw["x0c"], W, dtype=dtype)   # [B, Ho, Wo, W]
+    oh1 = jax.nn.one_hot(iw["x1c"], W, dtype=dtype)
+    g0 = jnp.einsum("bhok,bhkm->bhom", oh0, bands_w,
+                    preferred_element_type=dtype)     # [B, Ho, Wo, band*C]
+    g1 = jnp.einsum("bhok,bhkm->bhom", oh1, bands_w,
+                    preferred_element_type=dtype)
+    hz = (g0 * wx0[..., None].astype(dtype)
+          + g1 * wx1[..., None].astype(dtype))
+    hz = hz.reshape(B, Ho, Wo, band, C)
 
-
-def _warp_core(bands_t, iw, Wmat_w0, Wmat_w1, Dmat_w0, Dmat_w1, band, C, Wo):
-    """bands_t [B, Ho, band*C, W] -> out [B, Ho, Wo, C] with the given
-    horizontal/vertical weights (the two-stage contraction)."""
-    B, Ho = bands_t.shape[:2]
-    W = bands_t.shape[-1]
-    Wmat = _xmat(iw, W, Wmat_w0, Wmat_w1).astype(bands_t.dtype)
-    hz = jnp.einsum("bhkw,bhwo->bhko", bands_t, Wmat,
-                    preferred_element_type=bands_t.dtype)
-    hz = hz.reshape(B, Ho, band, C, Wo)
-    wv = _dmat(iw, band, Dmat_w0, Dmat_w1).astype(bands_t.dtype)
-    return jnp.einsum("bhdo,bhdco->bhoc", wv, hz,
-                      preferred_element_type=bands_t.dtype)
+    s0 = jax.nn.one_hot(iw["d0"], band, dtype=dtype)  # [B, Ho, Wo, band]
+    s1 = jax.nn.one_hot(iw["d1"], band, dtype=dtype)
+    wv = (s0 * wy0[..., None].astype(dtype)
+          + s1 * wy1[..., None].astype(dtype))
+    return jnp.einsum("bhod,bhodc->bhoc", wv, hz,
+                      preferred_element_type=dtype)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
@@ -140,44 +140,56 @@ def _grid_sample_band(image, grid, mode, padding_mode, align_corners, band,
     return out
 
 
+def _bands_w_of(image, iw, band):
+    """[B, Ho, W, band*C] band tensor in the one-hot-contraction layout."""
+    B, H, W, C = image.shape
+    bands = _gather_bands(image, iw["ymin"], band)   # [B, Ho, band, W, C]
+    Ho = bands.shape[1]
+    return bands.transpose(0, 1, 3, 2, 4).reshape(B, Ho, W, band * C)
+
+
 def _fwd(image, grid, mode, padding_mode, align_corners, band,
          image_grad=False):
     B, H, W, C = image.shape
     Wo = grid.shape[2]
     iw = _indices_and_weights(image.shape, grid, mode, padding_mode,
                               align_corners, band)
-    bands = _gather_bands(image, iw["ymin"], band)
-    bands_t = bands.transpose(0, 1, 2, 4, 3).reshape(
-        B, grid.shape[1], band * C, W)
-    out = _warp_core(bands_t, iw, iw["wx0"], iw["wx1"], iw["wy0"], iw["wy1"],
+    bands_w = _bands_w_of(image, iw, band)
+    out = _warp_core(bands_w, iw, iw["wx0"], iw["wx1"], iw["wy0"], iw["wy1"],
                      band, C, Wo)
     return out, (image, grid)
 
 
 def _bwd(mode, padding_mode, align_corners, band, image_grad, residuals, g):
-    """Grid cotangent via difference-weight matmuls. The image cotangent is
-    computed (transposed matmuls + band row-scatter) only when ``image_grad``
-    is set; the photometric loss treats images as constants."""
+    """Grid cotangent via difference-weight contractions. The image cotangent
+    is computed (transposed one-hot contractions + band row-scatter) only when
+    ``image_grad`` is set; the photometric loss treats images as constants."""
     image, grid = residuals
     B, H, W, C = image.shape
     Ho, Wo = grid.shape[1:3]
 
     iw = _indices_and_weights(image.shape, grid, mode, padding_mode,
                               align_corners, band)
+    dtype = g.dtype
 
     def image_cotangent():
-        # d out/d bands: transpose the two contractions, then scatter the
-        # band rows back into image rows (row-granular, gather-speed class)
-        wv = _dmat(iw, band, iw["wy0"], iw["wy1"]).astype(g.dtype)
-        dhz = jnp.einsum("bhdo,bhoc->bhdco", wv, g)       # [B,Ho,band,C,Wo]
-        Wmat = _xmat(iw, W, iw["wx0"], iw["wx1"]).astype(g.dtype)
-        dbands_t = jnp.einsum("bhko,bhwo->bhkw",
-                              dhz.reshape(B, Ho, band * C, Wo), Wmat,
-                              preferred_element_type=g.dtype)
-        dbands = dbands_t.reshape(B, Ho, band, C, W).transpose(0, 1, 2, 4, 3)
+        s0 = jax.nn.one_hot(iw["d0"], band, dtype=dtype)
+        s1 = jax.nn.one_hot(iw["d1"], band, dtype=dtype)
+        wv = (s0 * iw["wy0"][..., None].astype(dtype)
+              + s1 * iw["wy1"][..., None].astype(dtype))  # [B, Ho, Wo, band]
+        dhz = (wv[..., :, None] * g[..., None, :]).reshape(
+            B, Ho, Wo, band * C)                          # [B, Ho, Wo, band*C]
+        oh0 = jax.nn.one_hot(iw["x0c"], W, dtype=dtype)
+        oh1 = jax.nn.one_hot(iw["x1c"], W, dtype=dtype)
+        dbands_w = (
+            jnp.einsum("bhok,bhom->bhkm", oh0,
+                       dhz * iw["wx0"][..., None].astype(dtype))
+            + jnp.einsum("bhok,bhom->bhkm", oh1,
+                         dhz * iw["wx1"][..., None].astype(dtype)))
+        dbands = dbands_w.reshape(B, Ho, W, band, C).transpose(0, 1, 3, 2, 4)
         band_idx = (iw["ymin"][:, :, None]
                     + jnp.arange(band)[None, None, :]).reshape(B, Ho * band)
-        flat = jnp.zeros((B, H, W * C), g.dtype)
+        flat = jnp.zeros((B, H, W * C), dtype)
         flat = flat.at[
             jnp.arange(B)[:, None], band_idx].add(
                 dbands.reshape(B, Ho * band, W * C))
@@ -188,23 +200,22 @@ def _bwd(mode, padding_mode, align_corners, band, image_grad, residuals, g):
     if mode == "nearest":
         return dimage.astype(image.dtype), jnp.zeros_like(grid)
 
-    bands = _gather_bands(image, iw["ymin"], band)
-    bands_t = bands.transpose(0, 1, 2, 4, 3).reshape(B, Ho, band * C, W)
+    bands_w = _bands_w_of(image, iw, band)
 
     one = jnp.ones_like(iw["wx0"])
     if padding_mode == "zeros":
-        mx0 = iw["vx0"].astype(g.dtype)
-        mx1 = iw["vx1"].astype(g.dtype)
-        my0 = iw["vy0"].astype(g.dtype)
-        my1 = iw["vy1"].astype(g.dtype)
+        mx0 = iw["vx0"].astype(dtype)
+        mx1 = iw["vx1"].astype(dtype)
+        my0 = iw["vy0"].astype(dtype)
+        my1 = iw["vy1"].astype(dtype)
     else:
         mx0 = mx1 = my0 = my1 = one
 
     # d out / d fx = V(x1) - V(x0) (per-corner-validity aware)
-    dVdfx = _warp_core(bands_t, iw, -mx0, mx1, iw["wy0"], iw["wy1"],
+    dVdfx = _warp_core(bands_w, iw, -mx0, mx1, iw["wy0"], iw["wy1"],
                        band, C, Wo)
     # d out / d fy = H(y1) - H(y0)
-    dVdfy = _warp_core(bands_t, iw, iw["wx0"], iw["wx1"], -my0, my1,
+    dVdfy = _warp_core(bands_w, iw, iw["wx0"], iw["wx1"], -my0, my1,
                        band, C, Wo)
 
     gfx = jnp.sum(g * dVdfx, axis=-1)
