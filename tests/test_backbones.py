@@ -122,3 +122,13 @@ def test_dla_seg_upsample():
     out = head.apply(hv, feats, train=False,
                      mutable=["batch_stats"])[0]
     assert out.shape == (1, 16, 16, 64)  # 1/4 resolution, first_level channels
+
+
+def test_densenet_features():
+    from fsnet_tpu.models.backbones.densenet import densenet
+    model = densenet(121)
+    x = jnp.zeros((1, 64, 96, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    # transition3 pool removed -> final stride 16 instead of 32
+    assert out.shape == (1, 4, 6, 1024)
