@@ -41,7 +41,8 @@ def main() -> None:
                             dict(name="StepLR", step_size=8),
                             steps_per_epoch=1000, clip_gradients=1.0)
     state = init_state(model, batch, tx, jax.random.PRNGKey(0))
-    train_step = make_train_step(donate=True)
+    import jax.numpy as jnp
+    train_step = make_train_step(donate=False, compute_dtype=jnp.bfloat16)
 
     rng = jax.random.PRNGKey(1)
     for _ in range(WARMUP_STEPS):
