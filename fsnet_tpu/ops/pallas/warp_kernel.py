@@ -29,14 +29,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_LANE = 128
+
+
+def _tile_gather(bandm, xidx, KL, W):
+    """Exact lane gather of ``bandm[r, xidx[c]]`` for arbitrary xidx in
+    [0, W): ``tpu.dynamic_gather`` only addresses within one 128-lane tile
+    (wider operands crash the Mosaic backend — probed), so decompose into
+    (out-tile x src-tile) single-tile gathers combined by tile-select masks.
+    ``xidx`` is [1, W] int32."""
+    T = W // _LANE
+    tsel = xidx // _LANE                                  # [1, W]
+    rem = xidx % _LANE
+    out_tiles = []
+    for u in range(T):
+        sl = slice(u * _LANE, (u + 1) * _LANE)
+        idx_u = jnp.broadcast_to(rem[:, sl], (KL, _LANE))
+        tsel_u = tsel[:, sl]                              # [1, 128]
+        acc = jnp.zeros((KL, _LANE), bandm.dtype)
+        for t in range(T):
+            src = bandm[:, t * _LANE:(t + 1) * _LANE]     # [KL, 128]
+            gth = jnp.take_along_axis(src, idx_u, axis=1)
+            acc = acc + jnp.where(tsel_u == t, gth, 0.0)
+        out_tiles.append(acc)
+    return jnp.concatenate(out_tiles, axis=1)             # [KL, W]
+
+
 def _kernel(ipack_ref, fpack_ref, band_ref, out_ref, *, G, band, C, W):
     KL = band * C
     for g in range(G):
         bandm = band_ref[0, g]                            # [KL, W]
-        x0 = jnp.broadcast_to(ipack_ref[0, g, 0:1, :], (KL, W))
-        x1 = jnp.broadcast_to(ipack_ref[0, g, 1:2, :], (KL, W))
-        g0 = jnp.take_along_axis(bandm, x0, axis=1)
-        g1 = jnp.take_along_axis(bandm, x1, axis=1)
+        g0 = _tile_gather(bandm, ipack_ref[0, g, 0:1, :], KL, W)
+        g1 = _tile_gather(bandm, ipack_ref[0, g, 1:2, :], KL, W)
         hz = (g0 * fpack_ref[0, g, 0:1, :]
               + g1 * fpack_ref[0, g, 1:2, :])             # [KL, W]
 
