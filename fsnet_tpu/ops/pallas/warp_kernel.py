@@ -38,6 +38,9 @@ def _tile_gather(bandm, xidx, KL, W):
     (wider operands crash the Mosaic backend — probed), so decompose into
     (out-tile x src-tile) single-tile gathers combined by tile-select masks.
     ``xidx`` is [1, W] int32."""
+    if W <= _LANE:  # single lane tile: direct gather
+        idx = jnp.broadcast_to(xidx, (KL, W))
+        return jnp.take_along_axis(bandm, idx, axis=1)
     T = W // _LANE
     tsel = xidx // _LANE                                  # [1, W]
     rem = xidx % _LANE
@@ -127,3 +130,10 @@ def grid_sample_band_pallas(image: jnp.ndarray, iw: dict, band: int,
     fpack = jnp.stack([wx0, wx1, wy0, wy1], axis=2)
     out = warp_rows_pallas(bands_cw, ipack, fpack, band, C, group=group)
     return jnp.transpose(out, (0, 1, 3, 2))  # [B, Ho, W, C]
+
+
+def pallas_warp_supported(image_shape) -> bool:
+    """The kernel requires Wo == W and W either <= 128 or a multiple of 128
+    (lane-tile decomposition); other shapes use the einsum band warp."""
+    W = image_shape[2]
+    return W <= _LANE or W % _LANE == 0
