@@ -3,21 +3,22 @@ hardware ``dynamic_gather`` (lane-axis gather).
 
 Pipeline (NHWC batch in, NHWC out):
 
-1. (XLA) transpose the image to channel-major pixels ``[B, H, C*W]`` and
-   row-gather each output row's vertical band -> ``bands_cw
-   [B, Ho, band*C, W]`` — contiguous full-row copies, the gather class XLA
-   executes at HBM speed.
-2. (Pallas, grid (B, Ho/G)) for each output row: two lane-axis
-   ``tpu.dynamic_gather``s pick the x0/x1 columns for every output pixel,
-   bilinear x/y two-hot weights combine them on the VPU, and a sublane-split
-   reduction folds the band axis.
+1. (XLA) transpose the image to channel-major pixels, row-gather each output
+   row's vertical band, and pre-tile the W axis into 128-lane tiles ->
+   ``band_tiled [B, Ho, T, band*C, 128]`` plus pre-tiled index/weight packs.
+2. (Pallas, grid (B, Ho/G)) per output row: for every output lane tile, one
+   single-tile ``dynamic_gather`` per (corner, source tile) combined by
+   tile-select masks; bilinear x/y weights applied on the VPU; the band axis
+   folds with a sublane-split sum.
 
-Only the lane-axis gather is used: the Mosaic axis-0 (sublane) gather path
-crashes this toolchain's compiler (probed in ``scripts/tpu_pallas_probe2.py``).
+Mosaic constraints probed on this toolchain
+(``scripts/tpu_pallas_bisect*.py``): ``tpu.dynamic_gather`` only addresses a
+single 128-lane tile; kernels mixing lane-sliced gather operands at multiple
+offsets crash the compiler, but leading-dim pre-tiled operands compile and run
+— hence the [T, KL, 128] layouts.
 
-Constraint: operand/index shapes of ``tpu.dynamic_gather`` must match, so the
-kernel requires ``Wo == W`` (true for every warp in the framework: losses
-resample at the render resolution).
+Requires Wo == W and W <= 128 or W % 128 == 0 (see
+:func:`pallas_warp_supported`).
 """
 from __future__ import annotations
 
@@ -28,80 +29,87 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
 _LANE = 128
 
 
-def _tile_gather(bandm, xidx, KL, W):
-    """Exact lane gather of ``bandm[r, xidx[c]]`` for arbitrary xidx in
-    [0, W): ``tpu.dynamic_gather`` only addresses within one 128-lane tile
-    (wider operands crash the Mosaic backend — probed), so decompose into
-    (out-tile x src-tile) single-tile gathers combined by tile-select masks.
-    ``xidx`` is [1, W] int32."""
-    if W <= _LANE:  # single lane tile: direct gather
-        idx = jnp.broadcast_to(xidx, (KL, W))
-        return jnp.take_along_axis(bandm, idx, axis=1)
-    T = W // _LANE
-    tsel = xidx // _LANE                                  # [1, W]
-    rem = xidx % _LANE
-    out_tiles = []
-    for u in range(T):
-        sl = slice(u * _LANE, (u + 1) * _LANE)
-        idx_u = jnp.broadcast_to(rem[:, sl], (KL, _LANE))
-        tsel_u = tsel[:, sl]                              # [1, 128]
-        acc = jnp.zeros((KL, _LANE), bandm.dtype)
-        for t in range(T):
-            src = bandm[:, t * _LANE:(t + 1) * _LANE]     # [KL, 128]
-            gth = jnp.take_along_axis(src, idx_u, axis=1)
-            acc = acc + jnp.where(tsel_u == t, gth, 0.0)
-        out_tiles.append(acc)
-    return jnp.concatenate(out_tiles, axis=1)             # [KL, W]
-
-
-def _kernel(ipack_ref, fpack_ref, band_ref, out_ref, *, G, band, C, W):
+def _kernel(ipack_ref, fpack_ref, band_ref, out_ref, *, G, T, band, C, L):
+    """Blocks: ipack [1, G, T, 6, L] int32 (x0r, x0t, x1r, x1t, d0, d1),
+    fpack [1, G, T, 4, L] (wx0, wx1, wy0, wy1),
+    band [1, G, T, KL, L], out [1, G, T, C, L]."""
     KL = band * C
+    _LANE = L
     for g in range(G):
-        bandm = band_ref[0, g]                            # [KL, W]
-        g0 = _tile_gather(bandm, ipack_ref[0, g, 0:1, :], KL, W)
-        g1 = _tile_gather(bandm, ipack_ref[0, g, 1:2, :], KL, W)
-        hz = (g0 * fpack_ref[0, g, 0:1, :]
-              + g1 * fpack_ref[0, g, 1:2, :])             # [KL, W]
+        for u in range(T):
+            x0r = jnp.broadcast_to(ipack_ref[0, g, u, 0:1, :], (KL, _LANE))
+            x0t = jnp.broadcast_to(ipack_ref[0, g, u, 1:2, :], (KL, _LANE))
+            x1r = jnp.broadcast_to(ipack_ref[0, g, u, 2:3, :], (KL, _LANE))
+            x1t = jnp.broadcast_to(ipack_ref[0, g, u, 3:4, :], (KL, _LANE))
 
-        d_of_row = jax.lax.broadcasted_iota(jnp.int32, (KL, W), 0) // C
-        wv = ((d_of_row == ipack_ref[0, g, 2:3, :]) * fpack_ref[0, g, 2:3, :]
-              + (d_of_row == ipack_ref[0, g, 3:4, :]) * fpack_ref[0, g, 3:4, :])
-        weighted = (hz * wv).reshape(band, C, W)
-        out_ref[0, g] = jnp.sum(weighted, axis=0)         # [C, W]
+            g0 = jnp.zeros((KL, _LANE), band_ref.dtype)
+            g1 = jnp.zeros((KL, _LANE), band_ref.dtype)
+            for t in range(T):
+                src = band_ref[0, g, t]
+                gth0 = jnp.take_along_axis(src, x0r, axis=1)
+                gth1 = jnp.take_along_axis(src, x1r, axis=1)
+                g0 = g0 + gth0 * (x0t == t).astype(src.dtype)
+                g1 = g1 + gth1 * (x1t == t).astype(src.dtype)
+
+            hz = (g0 * fpack_ref[0, g, u, 0:1, :]
+                  + g1 * fpack_ref[0, g, u, 1:2, :])       # [KL, 128]
+
+            d_of_row = jax.lax.broadcasted_iota(jnp.int32, (KL, _LANE), 0) // C
+            wv = ((d_of_row == ipack_ref[0, g, u, 4:5, :])
+                  * fpack_ref[0, g, u, 2:3, :]
+                  + (d_of_row == ipack_ref[0, g, u, 5:6, :])
+                  * fpack_ref[0, g, u, 3:4, :])
+            weighted = (hz * wv).reshape(band, C, _LANE)
+            out_ref[0, g, u] = jnp.sum(weighted, axis=0)   # [C, 128]
+
+
+def _tile_w(x: jnp.ndarray, T: int, L: int) -> jnp.ndarray:
+    """[B, Ho, K, W] -> [B, Ho, T, K, L] (W split into lane tiles)."""
+    B, Ho, K, W = x.shape
+    return jnp.moveaxis(x.reshape(B, Ho, K, T, L), 3, 2)
 
 
 def warp_rows_pallas(bands_cw: jnp.ndarray, ipack: jnp.ndarray,
                      fpack: jnp.ndarray, band: int, C: int,
-                     group: int = 8) -> jnp.ndarray:
-    """``bands_cw`` [B, Ho, band*C, W], ``ipack`` [B, Ho, 4, W] int32
-    (x0c, x1c, d0, d1), ``fpack`` [B, Ho, 4, W] f32 (wx0, wx1, wy0, wy1)
-    -> out [B, Ho, C, W]."""
+                     group: int = 4) -> jnp.ndarray:
+    """``bands_cw`` [B, Ho, band*C, W], ``ipack`` [B, Ho, 6, W] int32
+    (x0r, x0t, x1r, x1t, d0, d1), ``fpack`` [B, Ho, 4, W]
+    (wx0, wx1, wy0, wy1) -> out [B, Ho, W, C] (NHWC rows)."""
     B, Ho, KL, W = bands_cw.shape
     assert KL == band * C
+    L = W if W <= _LANE else _LANE
+    T = W // L
+    assert W == T * L, W
     while Ho % group != 0:
         group //= 2
     G = max(group, 1)
 
-    kernel = functools.partial(_kernel, G=G, band=band, C=C, W=W)
-    return pl.pallas_call(
+    band_tiled = _tile_w(bands_cw, T, L)
+    ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
+    fpack_tiled = _tile_w(fpack.astype(bands_cw.dtype), T, L)
+
+    kernel = functools.partial(_kernel, G=G, T=T, band=band, C=C, L=L)
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, Ho, C, W), bands_cw.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, T, C, L), bands_cw.dtype),
         grid=(B, Ho // G),
         in_specs=[
-            pl.BlockSpec((1, G, 4, W), lambda n, h: (n, h, 0, 0),
+            pl.BlockSpec((1, G, T, 6, L), lambda n, h: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, 4, W), lambda n, h: (n, h, 0, 0),
+            pl.BlockSpec((1, G, T, 4, L), lambda n, h: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, KL, W), lambda n, h: (n, h, 0, 0),
+            pl.BlockSpec((1, G, T, KL, L), lambda n, h: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, G, C, W), lambda n, h: (n, h, 0, 0),
+        out_specs=pl.BlockSpec((1, G, T, C, L),
+                               lambda n, h: (n, h, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(ipack.astype(jnp.int32), fpack.astype(bands_cw.dtype), bands_cw)
+    )(ipack_tiled, fpack_tiled, band_tiled)
+    # [B, Ho, T, C, 128] -> [B, Ho, W, C]
+    return jnp.moveaxis(out, 3, 4).reshape(B, Ho, W, C)
 
 
 def gather_bands_cw(image: jnp.ndarray, ymin: jnp.ndarray,
@@ -121,15 +129,18 @@ def gather_bands_cw(image: jnp.ndarray, ymin: jnp.ndarray,
 
 
 def grid_sample_band_pallas(image: jnp.ndarray, iw: dict, band: int,
-                            wx0, wx1, wy0, wy1, group: int = 8) -> jnp.ndarray:
+                            wx0, wx1, wy0, wy1, group: int = 4) -> jnp.ndarray:
     """Forward band warp with explicit corner weights (shared by the fwd pass
     and the custom-VJP difference passes). Returns NHWC."""
     B, H, W, C = image.shape
     bands_cw = gather_bands_cw(image, iw["ymin"], band)
-    ipack = jnp.stack([iw["x0c"], iw["x1c"], iw["d0"], iw["d1"]], axis=2)
+    L = W if W <= _LANE else _LANE
+    x0 = iw["x0c"]
+    x1 = iw["x1c"]
+    ipack = jnp.stack([x0 % L, x0 // L, x1 % L, x1 // L,
+                       iw["d0"], iw["d1"]], axis=2)
     fpack = jnp.stack([wx0, wx1, wy0, wy1], axis=2)
-    out = warp_rows_pallas(bands_cw, ipack, fpack, band, C, group=group)
-    return jnp.transpose(out, (0, 1, 3, 2))  # [B, Ho, W, C]
+    return warp_rows_pallas(bands_cw, ipack, fpack, band, C, group=group)
 
 
 def pallas_warp_supported(image_shape) -> bool:
