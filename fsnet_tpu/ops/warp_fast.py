@@ -148,15 +148,40 @@ def _bands_w_of(image, iw, band):
     return bands.transpose(0, 1, 3, 2, 4).reshape(B, Ho, W, band * C)
 
 
+def _use_pallas(image_shape, grid_shape) -> bool:
+    """Route through the Pallas dynamic-gather kernel on TPU backends when the
+    shape constraints hold (Wo == W, lane-tileable W); einsum elsewhere."""
+    from .pallas.warp_kernel import pallas_warp_supported
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return (grid_shape[2] == image_shape[2]
+            and pallas_warp_supported(image_shape))
+
+
+def _warp_dispatch(image, iw, band, wx0, wx1, wy0, wy1, grid_shape, C, Wo):
+    """One warp pass with explicit corner weights, via Pallas or einsum."""
+    if _use_pallas(image.shape, grid_shape):
+        from .pallas.warp_kernel import grid_sample_band_pallas
+
+        # the Mosaic gather only supports f32 on this toolchain
+        out = grid_sample_band_pallas(
+            image.astype(jnp.float32), iw, band,
+            wx0.astype(jnp.float32), wx1.astype(jnp.float32),
+            wy0.astype(jnp.float32), wy1.astype(jnp.float32))
+        return out.astype(image.dtype)
+    bands_w = _bands_w_of(image, iw, band)
+    return _warp_core(bands_w, iw, wx0, wx1, wy0, wy1, band, C, Wo)
+
+
 def _fwd(image, grid, mode, padding_mode, align_corners, band,
          image_grad=False):
     B, H, W, C = image.shape
     Wo = grid.shape[2]
     iw = _indices_and_weights(image.shape, grid, mode, padding_mode,
                               align_corners, band)
-    bands_w = _bands_w_of(image, iw, band)
-    out = _warp_core(bands_w, iw, iw["wx0"], iw["wx1"], iw["wy0"], iw["wy1"],
-                     band, C, Wo)
+    out = _warp_dispatch(image, iw, band, iw["wx0"], iw["wx1"], iw["wy0"],
+                         iw["wy1"], grid.shape, C, Wo)
     return out, (image, grid)
 
 
@@ -200,8 +225,6 @@ def _bwd(mode, padding_mode, align_corners, band, image_grad, residuals, g):
     if mode == "nearest":
         return dimage.astype(image.dtype), jnp.zeros_like(grid)
 
-    bands_w = _bands_w_of(image, iw, band)
-
     one = jnp.ones_like(iw["wx0"])
     if padding_mode == "zeros":
         mx0 = iw["vx0"].astype(dtype)
@@ -212,11 +235,11 @@ def _bwd(mode, padding_mode, align_corners, band, image_grad, residuals, g):
         mx0 = mx1 = my0 = my1 = one
 
     # d out / d fx = V(x1) - V(x0) (per-corner-validity aware)
-    dVdfx = _warp_core(bands_w, iw, -mx0, mx1, iw["wy0"], iw["wy1"],
-                       band, C, Wo)
+    dVdfx = _warp_dispatch(image, iw, band, -mx0, mx1, iw["wy0"], iw["wy1"],
+                           grid.shape, C, Wo)
     # d out / d fy = H(y1) - H(y0)
-    dVdfy = _warp_core(bands_w, iw, iw["wx0"], iw["wx1"], -my0, my1,
-                       band, C, Wo)
+    dVdfy = _warp_dispatch(image, iw, band, iw["wx0"], iw["wx1"], -my0, my1,
+                           grid.shape, C, Wo)
 
     gfx = jnp.sum(g * dVdfx, axis=-1)
     gfy = jnp.sum(g * dVdfy, axis=-1)
