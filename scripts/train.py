@@ -61,6 +61,15 @@ def main(config: str = "configs/config.py", experiment_name: str = "default",
     import jax
     import numpy as np
 
+    # multi-host pods: initialize the jax distributed runtime from the TPU
+    # environment (the reference's init_process_group('nccl') analogue,
+    # /root/reference/scripts/train.py:73-75). Single-host runs skip this.
+    if world_size > 1 and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # noqa: BLE001 - single-host fallback
+            print(f"jax.distributed.initialize skipped: {e}")
+
     from fsnet_tpu.data.dataloader import build_dataloader, device_prefetch
     from fsnet_tpu.parallel.mesh import (
         make_mesh, process_is_logger, replicate_state, sync_global_devices,
