@@ -19,6 +19,11 @@ offsets crash the compiler, but leading-dim pre-tiled operands compile and run
 
 Requires Wo == W and W <= 128 or W % 128 == 0 (see
 :func:`pallas_warp_supported`).
+
+Accuracy: this path is *more* accurate than the einsum band warp on TPU —
+interpret-mode agreement with the einsum formulation is ~1e-7, while on
+hardware the einsum's f32 matmuls run bf16 multiply passes at default
+precision (~2e-3 difference). The gathers here are exact f32 VPU ops.
 """
 from __future__ import annotations
 
