@@ -45,18 +45,21 @@ def main() -> None:
     train_step = make_train_step(donate=False, compute_dtype=jnp.bfloat16)
 
     rng = jax.random.PRNGKey(1)
+    # warmup: force a real host sync per step with float() — on remote-tunnel
+    # backends (axon) block_until_ready can return before execution finishes,
+    # which would fake the timing below
     for _ in range(WARMUP_STEPS):
         state, metrics, _ = train_step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
         state, metrics, _ = train_step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
+    loss_value = float(metrics["loss"])  # device->host read: true barrier
     elapsed = time.perf_counter() - t0
 
     imgs_per_sec = BATCH * MEASURE_STEPS / elapsed
-    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(loss_value)
 
     print(json.dumps({
         "metric": "train_imgs_per_sec_per_chip",

@@ -71,6 +71,54 @@ def _kernel(ipack_ref, fpack_ref, band_ref, out_ref, *, G, T, band, C, L):
             out_ref[0, g, u] = jnp.sum(weighted, axis=0)   # [C, 128]
 
 
+def _kernel_bwd(ipack_ref, fpack_ref, band_ref, gcot_ref, out_ref, *,
+                G, T, band, C, L):
+    """Fused grid-cotangent kernel: both difference passes (d out/d fx and
+    d out/d fy) share the corner gathers, and the channel reduction against
+    the output cotangent folds in, so the whole backward costs ~one forward.
+
+    Blocks: ipack [1, G, T, 6, L] int32 (x0r, x0t, x1r, x1t, d0, d1),
+    fpack [1, G, T, 8, L] (wxa0, wxa1, wya0, wya1, wxb0, wxb1, wyb0, wyb1)
+    where pass a computes d/d fx (difference x-weights) and pass b d/d fy,
+    gcot [1, G, T, C, L] channel-major output cotangent,
+    out [1, G, T, 2, L] = (gfx, gfy) rows."""
+    KL = band * C
+    for g in range(G):
+        for u in range(T):
+            x0r = jnp.broadcast_to(ipack_ref[0, g, u, 0:1, :], (KL, L))
+            x0t = jnp.broadcast_to(ipack_ref[0, g, u, 1:2, :], (KL, L))
+            x1r = jnp.broadcast_to(ipack_ref[0, g, u, 2:3, :], (KL, L))
+            x1t = jnp.broadcast_to(ipack_ref[0, g, u, 3:4, :], (KL, L))
+
+            g0 = jnp.zeros((KL, L), band_ref.dtype)
+            g1 = jnp.zeros((KL, L), band_ref.dtype)
+            for t in range(T):
+                src = band_ref[0, g, t]
+                gth0 = jnp.take_along_axis(src, x0r, axis=1)
+                gth1 = jnp.take_along_axis(src, x1r, axis=1)
+                g0 = g0 + gth0 * (x0t == t).astype(src.dtype)
+                g1 = g1 + gth1 * (x1t == t).astype(src.dtype)
+
+            d_of_row = jax.lax.broadcasted_iota(jnp.int32, (KL, L), 0) // C
+            is0 = d_of_row == ipack_ref[0, g, u, 4:5, :]
+            is1 = d_of_row == ipack_ref[0, g, u, 5:6, :]
+
+            hz_a = (g0 * fpack_ref[0, g, u, 0:1, :]
+                    + g1 * fpack_ref[0, g, u, 1:2, :])
+            wv_a = (is0 * fpack_ref[0, g, u, 2:3, :]
+                    + is1 * fpack_ref[0, g, u, 3:4, :])
+            hz_b = (g0 * fpack_ref[0, g, u, 4:5, :]
+                    + g1 * fpack_ref[0, g, u, 5:6, :])
+            wv_b = (is0 * fpack_ref[0, g, u, 6:7, :]
+                    + is1 * fpack_ref[0, g, u, 7:8, :])
+
+            gc = gcot_ref[0, g, u]                         # [C, L]
+            va = (hz_a * wv_a).reshape(band, C, L).sum(0)  # [C, L]
+            vb = (hz_b * wv_b).reshape(band, C, L).sum(0)
+            out_ref[0, g, u, 0:1, :] = jnp.sum(va * gc, axis=0, keepdims=True)
+            out_ref[0, g, u, 1:2, :] = jnp.sum(vb * gc, axis=0, keepdims=True)
+
+
 def _tile_w(x: jnp.ndarray, T: int, L: int) -> jnp.ndarray:
     """[B, Ho, K, W] -> [B, Ho, T, K, L] (W split into lane tiles)."""
     B, Ho, K, W = x.shape
@@ -79,7 +127,7 @@ def _tile_w(x: jnp.ndarray, T: int, L: int) -> jnp.ndarray:
 
 def warp_rows_pallas(bands_cw: jnp.ndarray, ipack: jnp.ndarray,
                      fpack: jnp.ndarray, band: int, C: int,
-                     group: int = 4) -> jnp.ndarray:
+                     group: int = 16) -> jnp.ndarray:
     """``bands_cw`` [B, Ho, band*C, W], ``ipack`` [B, Ho, 6, W] int32
     (x0r, x0t, x1r, x1t, d0, d1), ``fpack`` [B, Ho, 4, W]
     (wx0, wx1, wy0, wy1) -> out [B, Ho, W, C] (NHWC rows)."""
@@ -117,6 +165,71 @@ def warp_rows_pallas(bands_cw: jnp.ndarray, ipack: jnp.ndarray,
     return jnp.moveaxis(out, 3, 4).reshape(B, Ho, W, C)
 
 
+def warp_rows_pallas_bwd(bands_cw: jnp.ndarray, ipack: jnp.ndarray,
+                         fpack8: jnp.ndarray, gcot_cw: jnp.ndarray,
+                         band: int, C: int, group: int = 16):
+    """``bands_cw`` [B, Ho, band*C, W], ``ipack`` [B, Ho, 6, W] int32,
+    ``fpack8`` [B, Ho, 8, W], ``gcot_cw`` [B, Ho, C, W] ->
+    (gfx, gfy) each [B, Ho, W]."""
+    B, Ho, KL, W = bands_cw.shape
+    assert KL == band * C
+    L = W if W <= _LANE else _LANE
+    T = W // L
+    assert W == T * L, W
+    while Ho % group != 0:
+        group //= 2
+    G = max(group, 1)
+
+    band_tiled = _tile_w(bands_cw, T, L)
+    ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
+    fpack_tiled = _tile_w(fpack8.astype(bands_cw.dtype), T, L)
+    gcot_tiled = _tile_w(gcot_cw.astype(bands_cw.dtype), T, L)
+
+    kernel = functools.partial(_kernel_bwd, G=G, T=T, band=band, C=C, L=L)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Ho, T, 2, L), bands_cw.dtype),
+        grid=(B, Ho // G),
+        in_specs=[
+            pl.BlockSpec((1, G, T, 6, L), lambda n, h: (n, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, 8, L), lambda n, h: (n, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, KL, L), lambda n, h: (n, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, C, L), lambda n, h: (n, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, G, T, 2, L),
+                               lambda n, h: (n, h, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(ipack_tiled, fpack_tiled, band_tiled, gcot_tiled)
+    # [B, Ho, T, 2, L] -> [B, Ho, 2, W]
+    out = jnp.moveaxis(out, 2, 3).reshape(B, Ho, 2, W)
+    return out[:, :, 0], out[:, :, 1]
+
+
+def grid_sample_band_pallas_bwd(image: jnp.ndarray, iw: dict, band: int,
+                                wxa0, wxa1, wya0, wya1,
+                                wxb0, wxb1, wyb0, wyb1,
+                                gcot: jnp.ndarray, group: int = 16):
+    """Fused backward band warp: pass a = d out/d fx, pass b = d out/d fy,
+    reduced against ``gcot`` [B, Ho, W, C]. Returns (gfx, gfy) [B, Ho, W]."""
+    B, H, W, C = image.shape
+    f32 = jnp.float32
+    bands_cw = gather_bands_cw(image.astype(f32), iw["ymin"], band)
+    L = W if W <= _LANE else _LANE
+    x0 = iw["x0c"]
+    x1 = iw["x1c"]
+    ipack = jnp.stack([x0 % L, x0 // L, x1 % L, x1 // L,
+                       iw["d0"], iw["d1"]], axis=2)
+    fpack8 = jnp.stack([wxa0, wxa1, wya0, wya1,
+                        wxb0, wxb1, wyb0, wyb1], axis=2).astype(f32)
+    gcot_cw = jnp.transpose(gcot, (0, 1, 3, 2)).astype(f32)  # [B, Ho, C, W]
+    return warp_rows_pallas_bwd(bands_cw, ipack, fpack8, gcot_cw, band, C,
+                                group=group)
+
+
 def gather_bands_cw(image: jnp.ndarray, ymin: jnp.ndarray,
                     band: int) -> jnp.ndarray:
     """[B, H, W, C] + per-output-row band start [B, Ho] ->
@@ -134,7 +247,7 @@ def gather_bands_cw(image: jnp.ndarray, ymin: jnp.ndarray,
 
 
 def grid_sample_band_pallas(image: jnp.ndarray, iw: dict, band: int,
-                            wx0, wx1, wy0, wy1, group: int = 4) -> jnp.ndarray:
+                            wx0, wx1, wy0, wy1, group: int = 16) -> jnp.ndarray:
     """Forward band warp with explicit corner weights (shared by the fwd pass
     and the custom-VJP difference passes). Returns NHWC."""
     B, H, W, C = image.shape

@@ -234,15 +234,27 @@ def _bwd(mode, padding_mode, align_corners, band, image_grad, residuals, g):
     else:
         mx0 = mx1 = my0 = my1 = one
 
-    # d out / d fx = V(x1) - V(x0) (per-corner-validity aware)
-    dVdfx = _warp_dispatch(image, iw, band, -mx0, mx1, iw["wy0"], iw["wy1"],
-                           grid.shape, C, Wo)
-    # d out / d fy = H(y1) - H(y0)
-    dVdfy = _warp_dispatch(image, iw, band, iw["wx0"], iw["wx1"], -my0, my1,
-                           grid.shape, C, Wo)
+    if _use_pallas(image.shape, grid.shape):
+        from .pallas.warp_kernel import grid_sample_band_pallas_bwd
 
-    gfx = jnp.sum(g * dVdfx, axis=-1)
-    gfy = jnp.sum(g * dVdfy, axis=-1)
+        # fused kernel: both difference passes share the corner gathers and
+        # the channel reduction against g folds in (one pass, two outputs)
+        gfx, gfy = grid_sample_band_pallas_bwd(
+            image, iw, band,
+            -mx0, mx1, iw["wy0"], iw["wy1"],       # pass a: d out / d fx
+            iw["wx0"], iw["wx1"], -my0, my1,       # pass b: d out / d fy
+            g)
+        gfx = gfx.astype(dtype)
+        gfy = gfy.astype(dtype)
+    else:
+        # d out / d fx = V(x1) - V(x0) (per-corner-validity aware)
+        dVdfx = _warp_dispatch(image, iw, band, -mx0, mx1, iw["wy0"],
+                               iw["wy1"], grid.shape, C, Wo)
+        # d out / d fy = H(y1) - H(y0)
+        dVdfy = _warp_dispatch(image, iw, band, iw["wx0"], iw["wx1"], -my0,
+                               my1, grid.shape, C, Wo)
+        gfx = jnp.sum(g * dVdfx, axis=-1)
+        gfy = jnp.sum(g * dVdfy, axis=-1)
 
 
     # chain to normalized grid coords (+ border-clamp zeroing)

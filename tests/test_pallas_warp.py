@@ -36,6 +36,35 @@ def test_pallas_warp_matches_einsum_band():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
+def test_pallas_fused_backward_matches_einsum(monkeypatch, padding_mode):
+    """The fused dual-output backward kernel must produce the same grid
+    cotangent as the einsum difference-weight path."""
+    import fsnet_tpu.ops.warp_fast as wf
+
+    N, H, W, C = 2, 16, 128, 3
+    BAND = 8
+    rng = np.random.RandomState(2)
+    img = jnp.asarray(rng.rand(N, H, W, C).astype(np.float32))
+    ys, xs = jnp.meshgrid(jnp.linspace(-1, 1, H), jnp.linspace(-1, 1, W),
+                          indexing="ij")
+    jitter = jnp.asarray((rng.rand(N, H, W, 2) * 0.3 - 0.15)
+                         .astype(np.float32))
+    grid = jnp.stack([xs, ys], -1)[None] + jitter
+
+    def loss(gr, use_pallas):
+        monkeypatch.setattr(wf, "_use_pallas", lambda *a: use_pallas)
+        out = wf.grid_sample_band(img, gr, padding_mode=padding_mode,
+                                  band=BAND)
+        return jnp.sum(jnp.sin(out * 3.0))
+
+    g_eins = jax.grad(loss)(grid, False)
+    g_pal = jax.grad(loss)(grid, True)
+    scale = float(jnp.max(jnp.abs(g_eins))) + 1e-8
+    np.testing.assert_allclose(np.asarray(g_pal) / scale,
+                               np.asarray(g_eins) / scale, atol=1e-5)
+
+
 def test_pallas_warp_group_fallback():
     """Ho not divisible by the group -> group halves until it divides."""
     N, H, W, C = 1, 12, 16, 1
