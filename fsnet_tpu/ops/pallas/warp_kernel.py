@@ -37,42 +37,81 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 
 
-def _kernel(ipack_ref, fpack_ref, band_ref, out_ref, *, G, T, band, C, L):
+def _unpack_pair(p):
+    """f32 word -> (hi, lo): the two bf16 values packed in its halves, as
+    exact f32 (bf16 is the top 16 bits of f32, so mask/shift is exact)."""
+    u = jax.lax.bitcast_convert_type(p, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    return hi, lo
+
+
+def pack_rows_bf16(image: jnp.ndarray) -> jnp.ndarray:
+    """bf16 [B, H, W, C] -> f32-packed [B, H/2, W, C]: word r holds image row
+    2r in its top half and row 2r+1 in its bottom half. Halves the gather
+    rows in the Pallas kernels with zero extra precision loss (the image is
+    already bf16)."""
+    B, H, W, C = image.shape
+    u = jax.lax.bitcast_convert_type(image.astype(jnp.bfloat16), jnp.uint16)
+    u = u.astype(jnp.uint32).reshape(B, H // 2, 2, W, C)
+    return jax.lax.bitcast_convert_type((u[:, :, 0] << 16) | u[:, :, 1],
+                                        jnp.float32)
+
+
+def _gather_corners(ipack_ref, band_ref, g, u, T, KL, L):
+    """Shared corner gathers: one single-tile dynamic_gather per
+    (corner, source tile), combined by tile-select masks."""
+    x0r = jnp.broadcast_to(ipack_ref[0, g, u, 0:1, :], (KL, L))
+    x0t = jnp.broadcast_to(ipack_ref[0, g, u, 1:2, :], (KL, L))
+    x1r = jnp.broadcast_to(ipack_ref[0, g, u, 2:3, :], (KL, L))
+    x1t = jnp.broadcast_to(ipack_ref[0, g, u, 3:4, :], (KL, L))
+
+    g0 = jnp.zeros((KL, L), band_ref.dtype)
+    g1 = jnp.zeros((KL, L), band_ref.dtype)
+    for t in range(T):
+        src = band_ref[0, g, t]
+        gth0 = jnp.take_along_axis(src, x0r, axis=1)
+        gth1 = jnp.take_along_axis(src, x1r, axis=1)
+        g0 = g0 + gth0 * (x0t == t).astype(src.dtype)
+        g1 = g1 + gth1 * (x1t == t).astype(src.dtype)
+    return g0, g1
+
+
+def _kernel(ipack_ref, fpack_ref, band_ref, out_ref, *, G, T, band, C, L,
+            packed):
     """Blocks: ipack [1, G, T, 6, L] int32 (x0r, x0t, x1r, x1t, d0, d1),
     fpack [1, G, T, 4, L] (wx0, wx1, wy0, wy1),
-    band [1, G, T, KL, L], out [1, G, T, C, L]."""
+    band [1, G, T, KL, L], out [1, G, T, C, L]. ``band`` counts the rows
+    actually stored per channel (already halved when ``packed``); d0/d1 are
+    in full-band units either way."""
     KL = band * C
-    _LANE = L
     for g in range(G):
         for u in range(T):
-            x0r = jnp.broadcast_to(ipack_ref[0, g, u, 0:1, :], (KL, _LANE))
-            x0t = jnp.broadcast_to(ipack_ref[0, g, u, 1:2, :], (KL, _LANE))
-            x1r = jnp.broadcast_to(ipack_ref[0, g, u, 2:3, :], (KL, _LANE))
-            x1t = jnp.broadcast_to(ipack_ref[0, g, u, 3:4, :], (KL, _LANE))
+            g0, g1 = _gather_corners(ipack_ref, band_ref, g, u, T, KL, L)
 
-            g0 = jnp.zeros((KL, _LANE), band_ref.dtype)
-            g1 = jnp.zeros((KL, _LANE), band_ref.dtype)
-            for t in range(T):
-                src = band_ref[0, g, t]
-                gth0 = jnp.take_along_axis(src, x0r, axis=1)
-                gth1 = jnp.take_along_axis(src, x1r, axis=1)
-                g0 = g0 + gth0 * (x0t == t).astype(src.dtype)
-                g1 = g1 + gth1 * (x1t == t).astype(src.dtype)
-
-            hz = (g0 * fpack_ref[0, g, u, 0:1, :]
-                  + g1 * fpack_ref[0, g, u, 1:2, :])       # [KL, 128]
-
-            d_of_row = jax.lax.broadcasted_iota(jnp.int32, (KL, _LANE), 0) // C
-            wv = ((d_of_row == ipack_ref[0, g, u, 4:5, :])
-                  * fpack_ref[0, g, u, 2:3, :]
-                  + (d_of_row == ipack_ref[0, g, u, 5:6, :])
-                  * fpack_ref[0, g, u, 3:4, :])
-            weighted = (hz * wv).reshape(band, C, _LANE)
-            out_ref[0, g, u] = jnp.sum(weighted, axis=0)   # [C, 128]
+            fx0 = fpack_ref[0, g, u, 0:1, :]
+            fx1 = fpack_ref[0, g, u, 1:2, :]
+            fy0 = fpack_ref[0, g, u, 2:3, :]
+            fy1 = fpack_ref[0, g, u, 3:4, :]
+            d0 = ipack_ref[0, g, u, 4:5, :]
+            d1 = ipack_ref[0, g, u, 5:6, :]
+            dp = jax.lax.broadcasted_iota(jnp.int32, (KL, L), 0) // C
+            if packed:
+                g0h, g0l = _unpack_pair(g0)
+                g1h, g1l = _unpack_pair(g1)
+                dh = dp * 2
+                wv_h = (dh == d0) * fy0 + (dh == d1) * fy1
+                wv_l = (dh + 1 == d0) * fy0 + (dh + 1 == d1) * fy1
+                weighted = ((g0h * fx0 + g1h * fx1) * wv_h
+                            + (g0l * fx0 + g1l * fx1) * wv_l)
+            else:
+                wv = (dp == d0) * fy0 + (dp == d1) * fy1
+                weighted = (g0 * fx0 + g1 * fx1) * wv
+            out_ref[0, g, u] = jnp.sum(weighted.reshape(band, C, L), axis=0)
 
 
 def _kernel_bwd(ipack_ref, fpack_ref, band_ref, gcot_ref, out_ref, *,
-                G, T, band, C, L):
+                G, T, band, C, L, packed):
     """Fused grid-cotangent kernel: both difference passes (d out/d fx and
     d out/d fy) share the corner gathers, and the channel reduction against
     the output cotangent folds in, so the whole backward costs ~one forward.
@@ -81,40 +120,42 @@ def _kernel_bwd(ipack_ref, fpack_ref, band_ref, gcot_ref, out_ref, *,
     fpack [1, G, T, 8, L] (wxa0, wxa1, wya0, wya1, wxb0, wxb1, wyb0, wyb1)
     where pass a computes d/d fx (difference x-weights) and pass b d/d fy,
     gcot [1, G, T, C, L] channel-major output cotangent,
-    out [1, G, T, 2, L] = (gfx, gfy) rows."""
+    out [1, G, T, 2, L] = (gfx, gfy) rows. ``band``/``packed`` as in
+    :func:`_kernel`."""
     KL = band * C
     for g in range(G):
         for u in range(T):
-            x0r = jnp.broadcast_to(ipack_ref[0, g, u, 0:1, :], (KL, L))
-            x0t = jnp.broadcast_to(ipack_ref[0, g, u, 1:2, :], (KL, L))
-            x1r = jnp.broadcast_to(ipack_ref[0, g, u, 2:3, :], (KL, L))
-            x1t = jnp.broadcast_to(ipack_ref[0, g, u, 3:4, :], (KL, L))
+            g0, g1 = _gather_corners(ipack_ref, band_ref, g, u, T, KL, L)
 
-            g0 = jnp.zeros((KL, L), band_ref.dtype)
-            g1 = jnp.zeros((KL, L), band_ref.dtype)
-            for t in range(T):
-                src = band_ref[0, g, t]
-                gth0 = jnp.take_along_axis(src, x0r, axis=1)
-                gth1 = jnp.take_along_axis(src, x1r, axis=1)
-                g0 = g0 + gth0 * (x0t == t).astype(src.dtype)
-                g1 = g1 + gth1 * (x1t == t).astype(src.dtype)
+            d0 = ipack_ref[0, g, u, 4:5, :]
+            d1 = ipack_ref[0, g, u, 5:6, :]
+            fxa0 = fpack_ref[0, g, u, 0:1, :]
+            fxa1 = fpack_ref[0, g, u, 1:2, :]
+            fya0 = fpack_ref[0, g, u, 2:3, :]
+            fya1 = fpack_ref[0, g, u, 3:4, :]
+            fxb0 = fpack_ref[0, g, u, 4:5, :]
+            fxb1 = fpack_ref[0, g, u, 5:6, :]
+            fyb0 = fpack_ref[0, g, u, 6:7, :]
+            fyb1 = fpack_ref[0, g, u, 7:8, :]
+            dp = jax.lax.broadcasted_iota(jnp.int32, (KL, L), 0) // C
+            if packed:
+                g0h, g0l = _unpack_pair(g0)
+                g1h, g1l = _unpack_pair(g1)
+                dh = dp * 2
+                ish0, ish1 = dh == d0, dh == d1
+                isl0, isl1 = dh + 1 == d0, dh + 1 == d1
+                wa = ((g0h * fxa0 + g1h * fxa1) * (ish0 * fya0 + ish1 * fya1)
+                      + (g0l * fxa0 + g1l * fxa1) * (isl0 * fya0 + isl1 * fya1))
+                wb = ((g0h * fxb0 + g1h * fxb1) * (ish0 * fyb0 + ish1 * fyb1)
+                      + (g0l * fxb0 + g1l * fxb1) * (isl0 * fyb0 + isl1 * fyb1))
+            else:
+                is0, is1 = dp == d0, dp == d1
+                wa = (g0 * fxa0 + g1 * fxa1) * (is0 * fya0 + is1 * fya1)
+                wb = (g0 * fxb0 + g1 * fxb1) * (is0 * fyb0 + is1 * fyb1)
 
-            d_of_row = jax.lax.broadcasted_iota(jnp.int32, (KL, L), 0) // C
-            is0 = d_of_row == ipack_ref[0, g, u, 4:5, :]
-            is1 = d_of_row == ipack_ref[0, g, u, 5:6, :]
-
-            hz_a = (g0 * fpack_ref[0, g, u, 0:1, :]
-                    + g1 * fpack_ref[0, g, u, 1:2, :])
-            wv_a = (is0 * fpack_ref[0, g, u, 2:3, :]
-                    + is1 * fpack_ref[0, g, u, 3:4, :])
-            hz_b = (g0 * fpack_ref[0, g, u, 4:5, :]
-                    + g1 * fpack_ref[0, g, u, 5:6, :])
-            wv_b = (is0 * fpack_ref[0, g, u, 6:7, :]
-                    + is1 * fpack_ref[0, g, u, 7:8, :])
-
-            gc = gcot_ref[0, g, u]                         # [C, L]
-            va = (hz_a * wv_a).reshape(band, C, L).sum(0)  # [C, L]
-            vb = (hz_b * wv_b).reshape(band, C, L).sum(0)
+            gc = gcot_ref[0, g, u]                      # [C, L]
+            va = wa.reshape(band, C, L).sum(0)          # [C, L]
+            vb = wb.reshape(band, C, L).sum(0)
             out_ref[0, g, u, 0:1, :] = jnp.sum(va * gc, axis=0, keepdims=True)
             out_ref[0, g, u, 1:2, :] = jnp.sum(vb * gc, axis=0, keepdims=True)
 
@@ -127,10 +168,11 @@ def _tile_w(x: jnp.ndarray, T: int, L: int) -> jnp.ndarray:
 
 def warp_rows_pallas(bands_cw: jnp.ndarray, ipack: jnp.ndarray,
                      fpack: jnp.ndarray, band: int, C: int,
-                     group: int = 16) -> jnp.ndarray:
+                     group: int = 16, packed: bool = False) -> jnp.ndarray:
     """``bands_cw`` [B, Ho, band*C, W], ``ipack`` [B, Ho, 6, W] int32
     (x0r, x0t, x1r, x1t, d0, d1), ``fpack`` [B, Ho, 4, W]
-    (wx0, wx1, wy0, wy1) -> out [B, Ho, W, C] (NHWC rows)."""
+    (wx0, wx1, wy0, wy1) -> out [B, Ho, W, C] (NHWC rows). ``band`` counts
+    the stored rows (halved vs the logical band when ``packed``)."""
     B, Ho, KL, W = bands_cw.shape
     assert KL == band * C
     L = W if W <= _LANE else _LANE
@@ -144,7 +186,8 @@ def warp_rows_pallas(bands_cw: jnp.ndarray, ipack: jnp.ndarray,
     ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
     fpack_tiled = _tile_w(fpack.astype(bands_cw.dtype), T, L)
 
-    kernel = functools.partial(_kernel, G=G, T=T, band=band, C=C, L=L)
+    kernel = functools.partial(_kernel, G=G, T=T, band=band, C=C, L=L,
+                               packed=packed)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, Ho, T, C, L), bands_cw.dtype),
@@ -167,7 +210,8 @@ def warp_rows_pallas(bands_cw: jnp.ndarray, ipack: jnp.ndarray,
 
 def warp_rows_pallas_bwd(bands_cw: jnp.ndarray, ipack: jnp.ndarray,
                          fpack8: jnp.ndarray, gcot_cw: jnp.ndarray,
-                         band: int, C: int, group: int = 16):
+                         band: int, C: int, group: int = 16,
+                         packed: bool = False):
     """``bands_cw`` [B, Ho, band*C, W], ``ipack`` [B, Ho, 6, W] int32,
     ``fpack8`` [B, Ho, 8, W], ``gcot_cw`` [B, Ho, C, W] ->
     (gfx, gfy) each [B, Ho, W]."""
@@ -185,7 +229,8 @@ def warp_rows_pallas_bwd(bands_cw: jnp.ndarray, ipack: jnp.ndarray,
     fpack_tiled = _tile_w(fpack8.astype(bands_cw.dtype), T, L)
     gcot_tiled = _tile_w(gcot_cw.astype(bands_cw.dtype), T, L)
 
-    kernel = functools.partial(_kernel_bwd, G=G, T=T, band=band, C=C, L=L)
+    kernel = functools.partial(_kernel_bwd, G=G, T=T, band=band, C=C,
+                               L=L, packed=packed)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, Ho, T, 2, L), bands_cw.dtype),
@@ -217,7 +262,7 @@ def grid_sample_band_pallas_bwd(image: jnp.ndarray, iw: dict, band: int,
     reduced against ``gcot`` [B, Ho, W, C]. Returns (gfx, gfy) [B, Ho, W]."""
     B, H, W, C = image.shape
     f32 = jnp.float32
-    bands_cw = gather_bands_cw(image.astype(f32), iw["ymin"], band)
+    bands_cw, rows, packed = _prep_bands(image, iw, band)
     L = W if W <= _LANE else _LANE
     x0 = iw["x0c"]
     x1 = iw["x1c"]
@@ -226,8 +271,8 @@ def grid_sample_band_pallas_bwd(image: jnp.ndarray, iw: dict, band: int,
     fpack8 = jnp.stack([wxa0, wxa1, wya0, wya1,
                         wxb0, wxb1, wyb0, wyb1], axis=2).astype(f32)
     gcot_cw = jnp.transpose(gcot, (0, 1, 3, 2)).astype(f32)  # [B, Ho, C, W]
-    return warp_rows_pallas_bwd(bands_cw, ipack, fpack8, gcot_cw, band, C,
-                                group=group)
+    return warp_rows_pallas_bwd(bands_cw, ipack, fpack8, gcot_cw, rows, C,
+                                group=group, packed=packed)
 
 
 def gather_bands_cw(image: jnp.ndarray, ymin: jnp.ndarray,
@@ -246,19 +291,38 @@ def gather_bands_cw(image: jnp.ndarray, ymin: jnp.ndarray,
     return rows.reshape(B, Ho, band * C, W)
 
 
+def _use_packed(image, band: int) -> bool:
+    """bf16 images pack two adjacent band rows into one f32 word (exact, the
+    data is already bf16), halving the dominant gather work. Needs even H and
+    band, and even ``ymin`` (guaranteed by ``_indices_and_weights``)."""
+    return (image.dtype == jnp.bfloat16 and image.shape[1] % 2 == 0
+            and band % 2 == 0)
+
+
+def _prep_bands(image, iw, band):
+    """-> (bands_cw, stored_rows, packed) honoring the bf16 packing path."""
+    if _use_packed(image, band):
+        pimg = pack_rows_bf16(image)
+        return (gather_bands_cw(pimg, iw["ymin"] // 2, band // 2),
+                band // 2, True)
+    return (gather_bands_cw(image.astype(jnp.float32), iw["ymin"], band),
+            band, False)
+
+
 def grid_sample_band_pallas(image: jnp.ndarray, iw: dict, band: int,
                             wx0, wx1, wy0, wy1, group: int = 16) -> jnp.ndarray:
     """Forward band warp with explicit corner weights (shared by the fwd pass
-    and the custom-VJP difference passes). Returns NHWC."""
+    and the custom-VJP difference passes). Returns NHWC f32."""
     B, H, W, C = image.shape
-    bands_cw = gather_bands_cw(image, iw["ymin"], band)
+    bands_cw, rows, packed = _prep_bands(image, iw, band)
     L = W if W <= _LANE else _LANE
     x0 = iw["x0c"]
     x1 = iw["x1c"]
     ipack = jnp.stack([x0 % L, x0 // L, x1 % L, x1 // L,
                        iw["d0"], iw["d1"]], axis=2)
-    fpack = jnp.stack([wx0, wx1, wy0, wy1], axis=2)
-    return warp_rows_pallas(bands_cw, ipack, fpack, band, C, group=group)
+    fpack = jnp.stack([wx0, wx1, wy0, wy1], axis=2).astype(jnp.float32)
+    return warp_rows_pallas(bands_cw, ipack, fpack, rows, C, group=group,
+                            packed=packed)
 
 
 def pallas_warp_supported(image_shape) -> bool:

@@ -83,6 +83,9 @@ def _indices_and_weights(image_shape, grid, mode, padding_mode, align_corners,
     y1c = jnp.clip(y0f + 1, 0, H - 1).astype(jnp.int32)
 
     ymin = jnp.clip(jnp.min(y0c, axis=2), 0, max(H - band, 0))  # [B, Ho]
+    # round the band start down to even so pairs of adjacent rows can pack
+    # into one f32 word on the bf16 Pallas path; costs <=1 row of coverage
+    ymin = ymin - (ymin % 2)
     d0 = jnp.clip(y0c - ymin[:, :, None], 0, band - 1)
     d1 = jnp.clip(y1c - ymin[:, :, None], 0, band - 1)
 
@@ -164,11 +167,9 @@ def _warp_dispatch(image, iw, band, wx0, wx1, wy0, wy1, grid_shape, C, Wo):
     if _use_pallas(image.shape, grid_shape):
         from .pallas.warp_kernel import grid_sample_band_pallas
 
-        # the Mosaic gather only supports f32 on this toolchain
-        out = grid_sample_band_pallas(
-            image.astype(jnp.float32), iw, band,
-            wx0.astype(jnp.float32), wx1.astype(jnp.float32),
-            wy0.astype(jnp.float32), wy1.astype(jnp.float32))
+        # the Mosaic gather only supports f32 words: bf16 images pack two
+        # band rows per word, other dtypes are cast (inside the wrapper)
+        out = grid_sample_band_pallas(image, iw, band, wx0, wx1, wy0, wy1)
         return out.astype(image.dtype)
     bands_w = _bands_w_of(image, iw, band)
     return _warp_core(bands_w, iw, wx0, wx1, wy0, wy1, band, C, Wo)

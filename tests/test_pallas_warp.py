@@ -36,6 +36,35 @@ def test_pallas_warp_matches_einsum_band():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_pallas_packed_bf16_matches_unpacked():
+    """bf16 images take the row-pair packing path; results must match the
+    f32 path on the same bf16-rounded data exactly (packing is lossless)."""
+    N, H, W, C = 2, 16, 256, 3
+    BAND = 8
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(N, H, W, C).astype(np.float32))
+    img_bf = img.astype(jnp.bfloat16)
+    grid = jnp.asarray((rng.rand(N, H, W, 2) * 1.8 - 0.9).astype(np.float32))
+    iw = _indices_and_weights(img.shape, grid, "bilinear", "border", True,
+                              BAND)
+    args = (iw, BAND, iw["wx0"], iw["wx1"], iw["wy0"], iw["wy1"])
+    out_p = wk.grid_sample_band_pallas(img_bf, *args)
+    out_u = wk.grid_sample_band_pallas(img_bf.astype(jnp.float32), *args)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u),
+                               atol=1e-6)
+
+    gcot = jnp.asarray(rng.rand(N, H, W, C).astype(np.float32))
+    one = jnp.ones_like(iw["wx0"])
+    bargs = (iw, BAND, -one, one, iw["wy0"], iw["wy1"],
+             iw["wx0"], iw["wx1"], -one, one, gcot)
+    ap = wk.grid_sample_band_pallas_bwd(img_bf, *bargs)
+    au = wk.grid_sample_band_pallas_bwd(img_bf.astype(jnp.float32), *bargs)
+    np.testing.assert_allclose(np.asarray(ap[0]), np.asarray(au[0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ap[1]), np.asarray(au[1]),
+                               atol=1e-6)
+
+
 @pytest.mark.parametrize("padding_mode", ["border", "zeros"])
 def test_pallas_fused_backward_matches_einsum(monkeypatch, padding_mode):
     """The fused dual-output backward kernel must produce the same grid
