@@ -6,34 +6,47 @@ analytic derivative d(dissim)/dy used by the uncertainty-weighted distill loss).
 """
 from __future__ import annotations
 
-import jax.lax as lax
+import functools
+
+import numpy as np
+
 import jax.numpy as jnp
 
 _C1 = 0.01 ** 2
 _C2 = 0.03 ** 2
 
 
+@functools.lru_cache(maxsize=None)
+def _pool_matrix(n: int, kernel_size: int, padding: int) -> np.ndarray:
+    """[n, n] banded matrix M with out = M @ x == reflect-pad(p) + 1D mean
+    pool(k, stride 1) along an axis of size n."""
+    m = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for t in range(kernel_size):
+            j = i + t - padding
+            if j < 0:
+                j = -j
+            elif j >= n:
+                j = 2 * n - 2 - j
+            m[i, j] += 1.0 / kernel_size
+    return m
+
+
 def _avg_pool_same(x: jnp.ndarray, kernel_size: int, padding: int) -> jnp.ndarray:
     """Reflection-pad then kernel_size x kernel_size mean pool, stride 1 (the
     reference's ``nn.ReflectionPad2d`` + ``nn.AvgPool2d(k, 1)`` pair).
 
-    Implemented as two separable 1D depthwise convolutions: XLA's conv
-    transpose (backward) is much faster on TPU than reduce_window's, and the
-    SSIM backward is on the training hot path."""
-    x = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)),
-                mode="reflect")
-    C = x.shape[-1]
-    inv_k = 1.0 / kernel_size
-    kernel_h = jnp.full((kernel_size, 1, 1, 1), inv_k, dtype=x.dtype)
-    kernel_w = jnp.full((1, kernel_size, 1, 1), inv_k, dtype=x.dtype)
-    kernel_h = jnp.tile(kernel_h, (1, 1, 1, C))
-    kernel_w = jnp.tile(kernel_w, (1, 1, 1, C))
-    dn = ("NHWC", "HWIO", "NHWC")
-    x = lax.conv_general_dilated(x, kernel_h, (1, 1), "VALID",
-                                 dimension_numbers=dn, feature_group_count=C)
-    return lax.conv_general_dilated(x, kernel_w, (1, 1), "VALID",
-                                    dimension_numbers=dn,
-                                    feature_group_count=C)
+    Implemented as two banded-matrix contractions so both the forward and
+    the backward (transposed matmuls) run on the MXU; depthwise convs and
+    reduce_window lower to much slower VPU loops on TPU, and SSIM is on the
+    training hot path."""
+    B, H, W, C = x.shape
+    mh = jnp.asarray(_pool_matrix(H, kernel_size, padding), x.dtype)
+    mw = jnp.asarray(_pool_matrix(W, kernel_size, padding), x.dtype)
+    x = jnp.einsum("bhwc,Hh->bHwc", x, mh,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.einsum("bhwc,Ww->bhWc", x, mw,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 def ssim(x: jnp.ndarray, y: jnp.ndarray, kernel_size: int = 3,

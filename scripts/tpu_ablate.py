@@ -1,0 +1,62 @@
+"""Ablation timing: full bf16 train step with loss pieces replaced by cheap
+stand-ins, to attribute step time (warp / ssim / smoothness / rest)."""
+import sys, os, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+import jax.numpy as jnp
+
+import __graft_entry__ as ge
+from fsnet_tpu.runtime.optim import build_optimizer
+from fsnet_tpu.runtime.state import init_state, make_train_step
+
+B, H, W = 12, 192, 640
+model = ge._flagship_model(H, W)
+batch = jax.device_put(ge._synthetic_batch(B, H, W))
+tx, _ = build_optimizer(dict(name="adam", lr=1e-4), None, steps_per_epoch=100)
+state0 = init_state(model, batch, tx, jax.random.PRNGKey(0))
+rng = jax.random.PRNGKey(1)
+
+
+def timed(tag):
+    step = make_train_step(donate=False, compute_dtype=jnp.bfloat16)
+    state = state0
+    state, metrics, _ = step(state, batch, rng)
+    float(metrics["loss"])  # sync incl. compile
+    t0 = time.perf_counter()
+    for _ in range(8):
+        state, metrics, _ = step(state, batch, rng)
+    loss = float(metrics["loss"])  # true barrier
+    dt = (time.perf_counter() - t0) / 8 * 1000
+    print(f"{tag:28s} {dt:8.1f} ms  loss={loss:.5f}", flush=True)
+
+
+import fsnet_tpu.ops.warp_fast as wf
+orig_gs = wf.grid_sample
+wf.grid_sample = lambda image, grid, **k: image
+import fsnet_tpu.models.heads.monodepth2_decoder as md
+orig_md_gs = md.grid_sample
+md.grid_sample = wf.grid_sample
+timed("warp -> identity")
+wf.grid_sample = orig_gs
+md.grid_sample = orig_md_gs
+
+import importlib
+ssim_mod = importlib.import_module("fsnet_tpu.ops.ssim")
+orig_ssim = ssim_mod.ssim
+fake_ssim = lambda a, b, **k: (a - b) * 0.5
+ssim_mod.ssim = fake_ssim
+md.ssim_fn = fake_ssim
+timed("ssim -> l1")
+ssim_mod.ssim = orig_ssim
+md.ssim_fn = orig_ssim
+
+import fsnet_tpu.ops.geometry as geo
+orig_smooth = geo.get_smooth_loss
+fake_smooth = lambda disp, img: jnp.mean(disp) * 0.0
+geo.get_smooth_loss = fake_smooth
+md.get_smooth_loss = fake_smooth
+timed("smoothness -> 0")
+geo.get_smooth_loss = orig_smooth
+md.get_smooth_loss = orig_smooth
+
+print("done", flush=True)
