@@ -18,7 +18,9 @@ offsets crash the compiler, but leading-dim pre-tiled operands compile and run
 — hence the [T, KL, 128] layouts.
 
 Requires Wo == W and W <= 128 or W % 128 == 0 (see
-:func:`pallas_warp_supported`).
+:func:`pallas_warp_supported`). For W > 384 each output tile consults only
+its 3-tile source window (horizontal displacement clamped to >= +-128 px,
+see :func:`_make_ipack`) — symmetric to the vertical ``band`` restriction.
 
 Accuracy: this path is *more* accurate than the einsum band warp on TPU —
 interpret-mode agreement with the einsum formulation is ~1e-7, while on
@@ -58,23 +60,53 @@ def pack_rows_bf16(image: jnp.ndarray) -> jnp.ndarray:
                                         jnp.float32)
 
 
+_WINDOW = 3  # source tiles consulted per output tile (see _make_ipack)
+
+
 def _gather_corners(ipack_ref, band_ref, g, u, T, KL, L):
     """Shared corner gathers: one single-tile dynamic_gather per
-    (corner, source tile), combined by tile-select masks."""
+    (corner, window tile), combined by window-relative select masks. The
+    window start for output tile ``u`` is the same static expression used by
+    :func:`_make_ipack` when it clamped the indices."""
     x0r = jnp.broadcast_to(ipack_ref[0, g, u, 0:1, :], (KL, L))
     x0t = jnp.broadcast_to(ipack_ref[0, g, u, 1:2, :], (KL, L))
     x1r = jnp.broadcast_to(ipack_ref[0, g, u, 2:3, :], (KL, L))
     x1t = jnp.broadcast_to(ipack_ref[0, g, u, 3:4, :], (KL, L))
 
+    kw = min(_WINDOW, T)
+    ws = min(max(u - 1, 0), T - kw)
     g0 = jnp.zeros((KL, L), band_ref.dtype)
     g1 = jnp.zeros((KL, L), band_ref.dtype)
-    for t in range(T):
-        src = band_ref[0, g, t]
+    for t in range(kw):
+        src = band_ref[0, g, ws + t]
         gth0 = jnp.take_along_axis(src, x0r, axis=1)
         gth1 = jnp.take_along_axis(src, x1r, axis=1)
         g0 = g0 + gth0 * (x0t == t).astype(src.dtype)
         g1 = g1 + gth1 * (x1t == t).astype(src.dtype)
     return g0, g1
+
+
+def _make_ipack(iw: dict, W: int, L: int) -> jnp.ndarray:
+    """Pack gather indices as (lane0, rel0, lane1, rel1, d0, d1) [B, Ho, 6, W].
+
+    ``rel`` is the source tile relative to the output tile's 3-tile window
+    [u-1, u+2) (clamped to the image). Columns are clamped into the window,
+    which bounds the horizontal displacement the kernel resolves to at least
+    +-L px (more, depending on the position inside the tile) — symmetric to
+    the vertical ``band`` restriction, and a no-op when T <= 3. Use the
+    einsum band warp (`impl='band'` off-TPU) for unbounded displacements."""
+    T = W // L
+    x0, x1 = iw["x0c"], iw["x1c"]
+    Wo = x0.shape[2]
+    kw = min(_WINDOW, T)
+    ox = jnp.arange(Wo, dtype=jnp.int32)
+    ws = jnp.clip(ox // L - 1, 0, T - kw)[None, None, :]
+    lo = ws * L
+    hi = (ws + kw) * L - 1
+    x0w = jnp.clip(x0, lo, hi)
+    x1w = jnp.clip(x1, lo, hi)
+    return jnp.stack([x0w % L, x0w // L - ws, x1w % L, x1w // L - ws,
+                      iw["d0"], iw["d1"]], axis=2)
 
 
 def _kernel(ipack_ref, fpack_ref, band_ref, out_ref, *, G, T, band, C, L,
@@ -264,10 +296,7 @@ def grid_sample_band_pallas_bwd(image: jnp.ndarray, iw: dict, band: int,
     f32 = jnp.float32
     bands_cw, rows, packed = _prep_bands(image, iw, band)
     L = W if W <= _LANE else _LANE
-    x0 = iw["x0c"]
-    x1 = iw["x1c"]
-    ipack = jnp.stack([x0 % L, x0 // L, x1 % L, x1 // L,
-                       iw["d0"], iw["d1"]], axis=2)
+    ipack = _make_ipack(iw, W, L)
     fpack8 = jnp.stack([wxa0, wxa1, wya0, wya1,
                         wxb0, wxb1, wyb0, wyb1], axis=2).astype(f32)
     gcot_cw = jnp.transpose(gcot, (0, 1, 3, 2)).astype(f32)  # [B, Ho, C, W]
@@ -316,10 +345,7 @@ def grid_sample_band_pallas(image: jnp.ndarray, iw: dict, band: int,
     B, H, W, C = image.shape
     bands_cw, rows, packed = _prep_bands(image, iw, band)
     L = W if W <= _LANE else _LANE
-    x0 = iw["x0c"]
-    x1 = iw["x1c"]
-    ipack = jnp.stack([x0 % L, x0 // L, x1 % L, x1 // L,
-                       iw["d0"], iw["d1"]], axis=2)
+    ipack = _make_ipack(iw, W, L)
     fpack = jnp.stack([wx0, wx1, wy0, wy1], axis=2).astype(jnp.float32)
     return warp_rows_pallas(bands_cw, ipack, fpack, rows, C, group=group,
                             packed=packed)

@@ -36,6 +36,35 @@ def test_pallas_warp_matches_einsum_band():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_pallas_windowed_gather_w640():
+    """T > 3 activates the 3-tile gather window: exact for displacements
+    within +-1 tile, finite (window-clamped) for arbitrary ones."""
+    N, H, W, C = 1, 8, 640, 3
+    BAND = 4
+    rng = np.random.RandomState(4)
+    img = jnp.asarray(rng.rand(N, H, W, C).astype(np.float32))
+    ys, xs = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W),
+                         indexing="ij")
+    base = np.stack([xs, ys], -1)[None].astype(np.float32)
+
+    grid = jnp.asarray(base + (rng.rand(N, H, W, 2) * 0.1 - 0.05)
+                       .astype(np.float32))
+    iw = _indices_and_weights(img.shape, grid, "bilinear", "border", True,
+                              BAND)
+    out = wk.grid_sample_band_pallas(img, iw, BAND, iw["wx0"], iw["wx1"],
+                                     iw["wy0"], iw["wy1"])
+    ref = grid_sample_band(img, grid, band=BAND)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    grid2 = jnp.asarray((rng.rand(N, H, W, 2) * 1.8 - 0.9).astype(np.float32))
+    iw2 = _indices_and_weights(img.shape, grid2, "bilinear", "border", True,
+                               BAND)
+    out2 = wk.grid_sample_band_pallas(img, iw2, BAND, iw2["wx0"], iw2["wx1"],
+                                      iw2["wy0"], iw2["wy1"])
+    assert bool(jnp.isfinite(out2).all())
+    assert float(out2.min()) >= 0.0 and float(out2.max()) <= 1.0
+
+
 def test_pallas_packed_bf16_matches_unpacked():
     """bf16 images take the row-pair packing path; results must match the
     f32 path on the same bf16-rounded data exactly (packing is lossless)."""
