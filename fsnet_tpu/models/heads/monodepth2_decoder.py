@@ -28,6 +28,7 @@ import flax.linen as nn
 from ...ops.geometry import get_smooth_loss, invert_K, make_K44, reproject
 from ...ops.metrics import compute_depth_errors_masked
 from ...ops.ssim import ssim as ssim_fn
+from ...ops.warp import _unnormalize
 from ...ops.warp_fast import grid_sample
 from ...utils.builder import build
 from ..blocks import adaptive_avg_pool2d, interpolate_bilinear
@@ -171,21 +172,31 @@ class MonoDepth2Decoder(nn.Module):
 
         overlap = None
         if self.overlapped_mask:
-            patched = input_dict.get(
-                "patched_mask",
-                jnp.ones((B, H, W), dtype=preds.dtype))  # [B, H, W]
-            patched_flat = jnp.broadcast_to(
-                patched[None, ..., None], (F, B, H, W, 1)
-            ).reshape(F * B, H, W, 1)
+            if "patched_mask" not in input_dict:
+                # the reference defaults the mask to all-ones
+                # (monodepth2_decoder.py:112-117); its nearest/zeros warp of
+                # ones is exactly the in-bounds test of the sampling grid
+                # (floor(u + 0.5) inside the image), so skip the 8 gather
+                # warps and test the grid analytically
+                xu = _unnormalize(grids[..., 0], W, True)
+                yu = _unnormalize(grids[..., 1], H, True)
+                overlap = ((xu >= -0.5) & (xu < W - 0.5)
+                           & (yu >= -0.5) & (yu < H - 0.5))
+            else:
+                patched = input_dict["patched_mask"]         # [B, H, W]
+                patched_flat = jnp.broadcast_to(
+                    patched[None, ..., None].astype(preds.dtype),
+                    (F, B, H, W, 1)).reshape(F * B, H, W, 1)
 
-            def warp_mask(grids_s):
-                return grid_sample(
-                    patched_flat, grids_s.reshape(F * B, H, W, 2),
-                    mode="nearest", padding_mode="zeros", align_corners=True,
-                    impl=self.warp_impl, band=self.warp_band)
+                def warp_mask(grids_s):
+                    return grid_sample(
+                        patched_flat, grids_s.reshape(F * B, H, W, 2),
+                        mode="nearest", padding_mode="zeros",
+                        align_corners=True, impl=self.warp_impl,
+                        band=self.warp_band)
 
-            warped = jax.lax.map(warp_mask, grids)
-            overlap = (warped.reshape(S, F, B, H, W) == 1.0)
+                warped = jax.lax.map(warp_mask, grids)
+                overlap = (warped.reshape(S, F, B, H, W) == 1.0)
 
         return preds, overlap, depths_full
 

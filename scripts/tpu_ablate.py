@@ -60,3 +60,25 @@ geo.get_smooth_loss = orig_smooth
 md.get_smooth_loss = orig_smooth
 
 print("done", flush=True)
+
+
+def _ablate_loss_only():
+    """Replace the entire head loss with a cheap scalar over the depth maps:
+    measures backbone+decoders fwd/bwd + optimizer, without the loss region."""
+    import fsnet_tpu.models.heads.monodepth2_decoder as md2
+
+    orig_loss = md2.MonoDepth2Decoder.loss
+
+    def tiny_loss(self, output_dict, input_dict, noise_rng=None):
+        total = 0.0
+        for s in self.scales:
+            total = total + jnp.mean(output_dict[("depth", 0, s)])
+        return {"loss": total * 1e-3, "loss_dict": {}, "hm": {}}
+
+    md2.MonoDepth2Decoder.loss = tiny_loss
+    timed("loss -> mean(depth)")
+    md2.MonoDepth2Decoder.loss = orig_loss
+
+
+if os.environ.get("FSNET_ABLATE_MODEL"):
+    _ablate_loss_only()

@@ -83,3 +83,27 @@ def test_band_gradients_match_exact_zeros_padding():
         grid_sample_band(img, g, padding_mode="zeros", band=12) ** 2))(grid)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_exact),
                                atol=1e-4)
+
+
+def test_analytic_inbounds_equals_ones_nearest_warp():
+    """The decoder's analytic overlap mask must equal the nearest/zeros warp
+    of an all-ones mask (the reference's default patched_mask path)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fsnet_tpu.ops.warp import _unnormalize
+    from fsnet_tpu.ops.warp_fast import grid_sample
+
+    N, H, W = 2, 16, 32
+    rng = np.random.RandomState(0)
+    ones = jnp.ones((N, H, W, 1), jnp.float32)
+    grid = jnp.asarray((rng.rand(N, H, W, 2) * 2.6 - 1.3).astype(np.float32))
+
+    warped = grid_sample(ones, grid, mode="nearest", padding_mode="zeros",
+                         align_corners=True, impl="band", band=16)
+    ref = np.asarray(warped[..., 0] == 1.0)
+
+    xu = _unnormalize(grid[..., 0], W, True)
+    yu = _unnormalize(grid[..., 1], H, True)
+    ana = np.asarray((xu >= -0.5) & (xu < W - 0.5)
+                     & (yu >= -0.5) & (yu < H - 0.5))
+    np.testing.assert_array_equal(ana, ref)
