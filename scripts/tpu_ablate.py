@@ -30,13 +30,15 @@ def timed(tag):
     print(f"{tag:28s} {dt:8.1f} ms  loss={loss:.5f}", flush=True)
 
 
+SKIP_MID = bool(os.environ.get("FSNET_ABLATE_MODEL_ONLY"))
+
 import fsnet_tpu.ops.warp_fast as wf
 orig_gs = wf.grid_sample
 wf.grid_sample = lambda image, grid, **k: image
 import fsnet_tpu.models.heads.monodepth2_decoder as md
 orig_md_gs = md.grid_sample
 md.grid_sample = wf.grid_sample
-timed("warp -> identity")
+SKIP_MID or timed("warp -> identity")
 wf.grid_sample = orig_gs
 md.grid_sample = orig_md_gs
 
@@ -46,7 +48,7 @@ orig_ssim = ssim_mod.ssim
 fake_ssim = lambda a, b, **k: (a - b) * 0.5
 ssim_mod.ssim = fake_ssim
 md.ssim_fn = fake_ssim
-timed("ssim -> l1")
+SKIP_MID or timed("ssim -> l1")
 ssim_mod.ssim = orig_ssim
 md.ssim_fn = orig_ssim
 
@@ -55,7 +57,7 @@ orig_smooth = geo.get_smooth_loss
 fake_smooth = lambda disp, img: jnp.mean(disp) * 0.0
 geo.get_smooth_loss = fake_smooth
 md.get_smooth_loss = fake_smooth
-timed("smoothness -> 0")
+SKIP_MID or timed("smoothness -> 0")
 geo.get_smooth_loss = orig_smooth
 md.get_smooth_loss = orig_smooth
 
@@ -72,7 +74,7 @@ def _ablate_loss_only():
     def tiny_loss(self, output_dict, input_dict, noise_rng=None):
         total = 0.0
         for s in self.scales:
-            total = total + jnp.mean(output_dict[("depth", 0, s)])
+            total = total + jnp.mean(output_dict[("depth", s, s)])
         return {"loss": total * 1e-3, "loss_dict": {}, "hm": {}}
 
     md2.MonoDepth2Decoder.loss = tiny_loss
