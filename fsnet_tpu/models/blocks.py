@@ -12,11 +12,80 @@ the ``batch_stats`` collection per flax convention.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def pad2d(x: jnp.ndarray, pad: int, mode: str) -> jnp.ndarray:
+    """NHWC spatial pad with an explicit transpose rule.
+
+    XLA's autodiff of ``jnp.pad(mode='edge'/'reflect')`` lowers to a
+    scatter-heavy backward that dominated the decoder's step time on TPU
+    (~35 ms at bs12@192x640); the transpose is really just slice-sum folds,
+    written out here."""
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode=mode)
+
+
+def _pad2d_fwd(x, pad, mode):
+    return pad2d(x, pad, mode), None
+
+
+def _fold_edge(g, p, axis):
+    """Transpose of edge padding along ``axis``: the first/last interior rows
+    absorb the p replicated strips."""
+    sl = [slice(None)] * g.ndim
+
+    def take(a, b):
+        sl2 = list(sl)
+        sl2[axis] = slice(a, b)
+        return g[tuple(sl2)]
+
+    lead = jnp.sum(take(0, p + 1), axis=axis, keepdims=True)
+    tail = jnp.sum(take(g.shape[axis] - (p + 1), g.shape[axis]), axis=axis,
+                   keepdims=True)
+    return jnp.concatenate([lead, take(p + 1, g.shape[axis] - (p + 1)), tail],
+                           axis=axis)
+
+
+def _fold_reflect1(g, axis):
+    """Transpose of reflect padding (pad=1): row 1 absorbs the top strip,
+    row H-2 the bottom strip."""
+    sl = [slice(None)] * g.ndim
+
+    def take(a, b):
+        sl2 = list(sl)
+        sl2[axis] = slice(a, b) if b is not None else slice(a, None)
+        return g[tuple(sl2)]
+
+    n = g.shape[axis]
+    return jnp.concatenate([
+        take(1, 2),
+        take(2, 3) + take(0, 1),
+        take(3, n - 3),
+        take(n - 3, n - 2) + take(n - 1, None),
+        take(n - 2, n - 1),
+    ], axis=axis)
+
+
+def _pad2d_bwd(pad, mode, _, g):
+    if mode == "edge":
+        g = _fold_edge(g, pad, 1)
+        g = _fold_edge(g, pad, 2)
+    elif mode == "reflect":
+        assert pad == 1, "reflect transpose implemented for pad=1"
+        g = _fold_reflect1(g, 1)
+        g = _fold_reflect1(g, 2)
+    else:  # constant
+        g = g[:, pad:-pad or None, pad:-pad or None]
+    return (g,)
+
+
+pad2d.defvjp(_pad2d_fwd, _pad2d_bwd)
 
 
 def _pair(x) -> Tuple[int, int]:
@@ -76,7 +145,7 @@ class ConvBnReLU(nn.Module):
         k = _pair(self.kernel_size)
         pad = int((k[0] - 1) / 2) * self.dilation if self.padding.lower() == "same" else 0
         if pad > 0 and self.padding_mode == "replicate":
-            x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+            x = pad2d(x, pad, "edge")
             conv_padding: Any = "VALID"
         else:
             conv_padding = ((pad, pad), (pad, pad))
@@ -125,7 +194,7 @@ class Conv3x3(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         mode = "reflect" if self.use_refl else "constant"
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
+        x = pad2d(x, 1, mode)
         return nn.Conv(self.out_channels, (3, 3), padding="VALID", name="conv")(x)
 
 

@@ -25,7 +25,7 @@ import flax.linen as nn
 
 from ...ops.depth_codec import build_depth_bins, gather_activation
 from ...ops.geometry import depth_to_disp, disp_to_depth
-from ..blocks import ConvBnReLU, upsample2x_nearest
+from ..blocks import ConvBnReLU, pad2d, upsample2x_nearest
 
 NUM_CH_DEC = (16, 32, 64, 128, 256)
 
@@ -37,7 +37,7 @@ def _replicate_pad_conv(features: int, name: str) -> nn.Module:
     class _RepConv(nn.Module):
         @nn.compact
         def __call__(self, x):
-            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+            x = pad2d(x, 1, "edge")
             return nn.Conv(features, (3, 3), padding="VALID", name="conv")(x)
 
     return _RepConv(name=name)

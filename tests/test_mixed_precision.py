@@ -33,3 +33,18 @@ def test_bf16_step_matches_f32_loss():
                for p in jax.tree.leaves(s16.params))
     assert all(p.dtype == jnp.float32
                for p in jax.tree.leaves(s16.batch_stats))
+
+
+def test_gather_activation_promotes_to_f32():
+    """Decoded depth must stay f32 even for bf16 logits: it feeds camera
+    geometry, where bf16's ~2px ULP at image-width scale quantizes the warp
+    grids and freezes training (regression: bins were cast to bf16 once)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fsnet_tpu.ops.depth_codec import build_depth_bins, gather_activation
+
+    logits = jnp.asarray(np.random.RandomState(0).randn(1, 4, 4, 16),
+                         jnp.bfloat16)
+    bins = jnp.asarray(build_depth_bins(0.5, 100.0, 16))
+    depth = gather_activation(logits, bins)
+    assert depth.dtype == jnp.float32
