@@ -63,11 +63,13 @@ def pack_rows_bf16(image: jnp.ndarray) -> jnp.ndarray:
 _WINDOW = 3  # source tiles consulted per output tile (see _make_ipack)
 
 
-def _gather_corners(ipack_ref, band_ref, g, u, T, KL, L):
+def _gather_corners(ipack_ref, src_of, g, u, T, KL, L):
     """Shared corner gathers: one single-tile dynamic_gather per
     (corner, window tile), combined by window-relative select masks. The
     window start for output tile ``u`` is the same static expression used by
-    :func:`_make_ipack` when it clamped the indices."""
+    :func:`_make_ipack` when it clamped the indices. ``src_of(t)`` yields the
+    [KL, L] channel-major source tile ``t`` (a VMEM block read or a DMA
+    scratch read, depending on the caller)."""
     x0r = jnp.broadcast_to(ipack_ref[0, g, u, 0:1, :], (KL, L))
     x0t = jnp.broadcast_to(ipack_ref[0, g, u, 1:2, :], (KL, L))
     x1r = jnp.broadcast_to(ipack_ref[0, g, u, 2:3, :], (KL, L))
@@ -75,14 +77,15 @@ def _gather_corners(ipack_ref, band_ref, g, u, T, KL, L):
 
     kw = min(_WINDOW, T)
     ws = min(max(u - 1, 0), T - kw)
-    g0 = jnp.zeros((KL, L), band_ref.dtype)
-    g1 = jnp.zeros((KL, L), band_ref.dtype)
+    g0 = g1 = None
     for t in range(kw):
-        src = band_ref[0, g, ws + t]
-        gth0 = jnp.take_along_axis(src, x0r, axis=1)
-        gth1 = jnp.take_along_axis(src, x1r, axis=1)
-        g0 = g0 + gth0 * (x0t == t).astype(src.dtype)
-        g1 = g1 + gth1 * (x1t == t).astype(src.dtype)
+        src = src_of(ws + t)
+        gth0 = jnp.take_along_axis(src, x0r, axis=1) * (x0t == t).astype(
+            src.dtype)
+        gth1 = jnp.take_along_axis(src, x1r, axis=1) * (x1t == t).astype(
+            src.dtype)
+        g0 = gth0 if g0 is None else g0 + gth0
+        g1 = gth1 if g1 is None else g1 + gth1
     return g0, g1
 
 
@@ -109,6 +112,32 @@ def _make_ipack(iw: dict, W: int, L: int) -> jnp.ndarray:
                       iw["d0"], iw["d1"]], axis=2)
 
 
+def _fwd_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L, packed):
+    """One output lane tile of the forward warp -> [C, L]."""
+    KL = band * C
+    g0, g1 = _gather_corners(ipack_ref, src_of, g, u, T, KL, L)
+
+    fx0 = fpack_ref[0, g, u, 0:1, :]
+    fx1 = fpack_ref[0, g, u, 1:2, :]
+    fy0 = fpack_ref[0, g, u, 2:3, :]
+    fy1 = fpack_ref[0, g, u, 3:4, :]
+    d0 = ipack_ref[0, g, u, 4:5, :]
+    d1 = ipack_ref[0, g, u, 5:6, :]
+    dp = jax.lax.broadcasted_iota(jnp.int32, (KL, L), 0) // C
+    if packed:
+        g0h, g0l = _unpack_pair(g0)
+        g1h, g1l = _unpack_pair(g1)
+        dh = dp * 2
+        wv_h = (dh == d0) * fy0 + (dh == d1) * fy1
+        wv_l = (dh + 1 == d0) * fy0 + (dh + 1 == d1) * fy1
+        weighted = ((g0h * fx0 + g1h * fx1) * wv_h
+                    + (g0l * fx0 + g1l * fx1) * wv_l)
+    else:
+        wv = (dp == d0) * fy0 + (dp == d1) * fy1
+        weighted = (g0 * fx0 + g1 * fx1) * wv
+    return jnp.sum(weighted.reshape(band, C, L), axis=0)
+
+
 def _kernel(ipack_ref, fpack_ref, band_ref, out_ref, *, G, T, band, C, L,
             packed):
     """Blocks: ipack [1, G, T, 6, L] int32 (x0r, x0t, x1r, x1t, d0, d1),
@@ -116,30 +145,11 @@ def _kernel(ipack_ref, fpack_ref, band_ref, out_ref, *, G, T, band, C, L,
     band [1, G, T, KL, L], out [1, G, T, C, L]. ``band`` counts the rows
     actually stored per channel (already halved when ``packed``); d0/d1 are
     in full-band units either way."""
-    KL = band * C
     for g in range(G):
         for u in range(T):
-            g0, g1 = _gather_corners(ipack_ref, band_ref, g, u, T, KL, L)
-
-            fx0 = fpack_ref[0, g, u, 0:1, :]
-            fx1 = fpack_ref[0, g, u, 1:2, :]
-            fy0 = fpack_ref[0, g, u, 2:3, :]
-            fy1 = fpack_ref[0, g, u, 3:4, :]
-            d0 = ipack_ref[0, g, u, 4:5, :]
-            d1 = ipack_ref[0, g, u, 5:6, :]
-            dp = jax.lax.broadcasted_iota(jnp.int32, (KL, L), 0) // C
-            if packed:
-                g0h, g0l = _unpack_pair(g0)
-                g1h, g1l = _unpack_pair(g1)
-                dh = dp * 2
-                wv_h = (dh == d0) * fy0 + (dh == d1) * fy1
-                wv_l = (dh + 1 == d0) * fy0 + (dh + 1 == d1) * fy1
-                weighted = ((g0h * fx0 + g1h * fx1) * wv_h
-                            + (g0l * fx0 + g1l * fx1) * wv_l)
-            else:
-                wv = (dp == d0) * fy0 + (dp == d1) * fy1
-                weighted = (g0 * fx0 + g1 * fx1) * wv
-            out_ref[0, g, u] = jnp.sum(weighted.reshape(band, C, L), axis=0)
+            out_ref[0, g, u] = _fwd_tile(
+                ipack_ref, fpack_ref, lambda t: band_ref[0, g, t], g, u,
+                T=T, band=band, C=C, L=L, packed=packed)
 
 
 def _kernel_bwd(ipack_ref, fpack_ref, band_ref, gcot_ref, out_ref, *,
@@ -154,42 +164,228 @@ def _kernel_bwd(ipack_ref, fpack_ref, band_ref, gcot_ref, out_ref, *,
     gcot [1, G, T, C, L] channel-major output cotangent,
     out [1, G, T, 2, L] = (gfx, gfy) rows. ``band``/``packed`` as in
     :func:`_kernel`."""
-    KL = band * C
     for g in range(G):
         for u in range(T):
-            g0, g1 = _gather_corners(ipack_ref, band_ref, g, u, T, KL, L)
-
-            d0 = ipack_ref[0, g, u, 4:5, :]
-            d1 = ipack_ref[0, g, u, 5:6, :]
-            fxa0 = fpack_ref[0, g, u, 0:1, :]
-            fxa1 = fpack_ref[0, g, u, 1:2, :]
-            fya0 = fpack_ref[0, g, u, 2:3, :]
-            fya1 = fpack_ref[0, g, u, 3:4, :]
-            fxb0 = fpack_ref[0, g, u, 4:5, :]
-            fxb1 = fpack_ref[0, g, u, 5:6, :]
-            fyb0 = fpack_ref[0, g, u, 6:7, :]
-            fyb1 = fpack_ref[0, g, u, 7:8, :]
-            dp = jax.lax.broadcasted_iota(jnp.int32, (KL, L), 0) // C
-            if packed:
-                g0h, g0l = _unpack_pair(g0)
-                g1h, g1l = _unpack_pair(g1)
-                dh = dp * 2
-                ish0, ish1 = dh == d0, dh == d1
-                isl0, isl1 = dh + 1 == d0, dh + 1 == d1
-                wa = ((g0h * fxa0 + g1h * fxa1) * (ish0 * fya0 + ish1 * fya1)
-                      + (g0l * fxa0 + g1l * fxa1) * (isl0 * fya0 + isl1 * fya1))
-                wb = ((g0h * fxb0 + g1h * fxb1) * (ish0 * fyb0 + ish1 * fyb1)
-                      + (g0l * fxb0 + g1l * fxb1) * (isl0 * fyb0 + isl1 * fyb1))
-            else:
-                is0, is1 = dp == d0, dp == d1
-                wa = (g0 * fxa0 + g1 * fxa1) * (is0 * fya0 + is1 * fya1)
-                wb = (g0 * fxb0 + g1 * fxb1) * (is0 * fyb0 + is1 * fyb1)
-
+            va, vb = _bwd_tile(ipack_ref, fpack_ref,
+                               lambda t: band_ref[0, g, t], g, u,
+                               T=T, band=band, C=C, L=L, packed=packed)
             gc = gcot_ref[0, g, u]                      # [C, L]
-            va = wa.reshape(band, C, L).sum(0)          # [C, L]
-            vb = wb.reshape(band, C, L).sum(0)
             out_ref[0, g, u, 0:1, :] = jnp.sum(va * gc, axis=0, keepdims=True)
             out_ref[0, g, u, 1:2, :] = jnp.sum(vb * gc, axis=0, keepdims=True)
+
+
+def _bwd_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L, packed):
+    """Both difference passes for one output lane tile -> (va, vb) [C, L]."""
+    KL = band * C
+    g0, g1 = _gather_corners(ipack_ref, src_of, g, u, T, KL, L)
+
+    d0 = ipack_ref[0, g, u, 4:5, :]
+    d1 = ipack_ref[0, g, u, 5:6, :]
+    fxa0 = fpack_ref[0, g, u, 0:1, :]
+    fxa1 = fpack_ref[0, g, u, 1:2, :]
+    fya0 = fpack_ref[0, g, u, 2:3, :]
+    fya1 = fpack_ref[0, g, u, 3:4, :]
+    fxb0 = fpack_ref[0, g, u, 4:5, :]
+    fxb1 = fpack_ref[0, g, u, 5:6, :]
+    fyb0 = fpack_ref[0, g, u, 6:7, :]
+    fyb1 = fpack_ref[0, g, u, 7:8, :]
+    dp = jax.lax.broadcasted_iota(jnp.int32, (KL, L), 0) // C
+    if packed:
+        g0h, g0l = _unpack_pair(g0)
+        g1h, g1l = _unpack_pair(g1)
+        dh = dp * 2
+        ish0, ish1 = dh == d0, dh == d1
+        isl0, isl1 = dh + 1 == d0, dh + 1 == d1
+        wa = ((g0h * fxa0 + g1h * fxa1) * (ish0 * fya0 + ish1 * fya1)
+              + (g0l * fxa0 + g1l * fxa1) * (isl0 * fya0 + isl1 * fya1))
+        wb = ((g0h * fxb0 + g1h * fxb1) * (ish0 * fyb0 + ish1 * fyb1)
+              + (g0l * fxb0 + g1l * fxb1) * (isl0 * fyb0 + isl1 * fyb1))
+    else:
+        is0, is1 = dp == d0, dp == d1
+        wa = (g0 * fxa0 + g1 * fxa1) * (is0 * fya0 + is1 * fya1)
+        wb = (g0 * fxb0 + g1 * fxb1) * (is0 * fyb0 + is1 * fyb1)
+
+    return wa.reshape(band, C, L).sum(0), wb.reshape(band, C, L).sum(0)
+
+
+def _band_dma(ymin_ref, img_ref, scr, sems, slot, n, h, g, G):
+    """The band-row DMA for output row ``g`` of block (n, h): copies the
+    [T, KL, L] channel-major row band starting at scalar-prefetched sublane
+    row ``ymin_rows[n, h*G+g]`` from the HBM-resident tiled image
+    [B, T, H'*C, L] into scratch slot ``(slot, g)``."""
+    KL = scr.shape[3]
+    y = ymin_ref[n, h * G + g]
+    return pltpu.make_async_copy(
+        img_ref.at[n, :, pl.ds(y, KL), :],
+        scr.at[slot, g],
+        sems.at[slot, g],
+    )
+
+
+def _dma_prologue(ymin_ref, img_ref, scr, sems, *, G):
+    """Double-buffered band fetch shared by the fwd/bwd DMA kernels: warm up
+    block 0, start block blk+1 into the other slot, return this block's slot
+    (whose per-row DMAs the caller waits just before using each row)."""
+    n = pl.program_id(0)
+    h = pl.program_id(1)
+    nh = pl.num_programs(1)
+    blk = n * nh + h
+    nblk = pl.num_programs(0) * nh
+    slot = jax.lax.rem(blk, 2)
+
+    def start_block(slot_, n_, h_):
+        for g in range(G):
+            _band_dma(ymin_ref, img_ref, scr, sems, slot_, n_, h_, g,
+                      G).start()
+
+    @pl.when(blk == 0)
+    def _():
+        start_block(slot, n, h)
+
+    @pl.when(blk + 1 < nblk)
+    def _():
+        nxt = blk + 1
+        start_block(1 - slot, nxt // nh, jax.lax.rem(nxt, nh))
+
+    return slot, n, h
+
+
+def _kernel_dma(ymin_ref, ipack_ref, fpack_ref, img_ref, out_ref, scr, sems,
+                *, G, T, band, C, L, packed):
+    """Forward kernel with the band row-gather fused in as double-buffered
+    DMA from the HBM image (no [B, Ho, band*C, W] materialization in HBM).
+    Blocks as :func:`_kernel` except the band comes from ``scr``."""
+    slot, n, h = _dma_prologue(ymin_ref, img_ref, scr, sems, G=G)
+    for g in range(G):
+        _band_dma(ymin_ref, img_ref, scr, sems, slot, n, h, g, G).wait()
+        for u in range(T):
+            out_ref[0, g, u] = _fwd_tile(
+                ipack_ref, fpack_ref, lambda t: scr[slot, g, t], g, u,
+                T=T, band=band, C=C, L=L, packed=packed)
+
+
+def _kernel_dma_bwd(ymin_ref, ipack_ref, fpack_ref, gcot_ref, img_ref,
+                    out_ref, scr, sems, *, G, T, band, C, L, packed):
+    """Backward kernel with the fused band DMA (see :func:`_kernel_bwd`)."""
+    slot, n, h = _dma_prologue(ymin_ref, img_ref, scr, sems, G=G)
+    for g in range(G):
+        _band_dma(ymin_ref, img_ref, scr, sems, slot, n, h, g, G).wait()
+        for u in range(T):
+            va, vb = _bwd_tile(ipack_ref, fpack_ref,
+                               lambda t: scr[slot, g, t], g, u,
+                               T=T, band=band, C=C, L=L, packed=packed)
+            gc = gcot_ref[0, g, u]                      # [C, L]
+            out_ref[0, g, u, 0:1, :] = jnp.sum(va * gc, axis=0, keepdims=True)
+            out_ref[0, g, u, 1:2, :] = jnp.sum(vb * gc, axis=0, keepdims=True)
+
+
+def _tile_img_rows(image: jnp.ndarray) -> jnp.ndarray:
+    """[B, H', W, C] -> [B, T, H'*C, L]: per lane tile, channel-major sublane
+    rows ordered (h, c) so a band of rows [y*C, y*C + band*C) is exactly the
+    [KL, L] gather operand the kernels consume."""
+    B, Hs, W, C = image.shape
+    L = W if W <= _LANE else _LANE
+    T = W // L
+    x = image.reshape(B, Hs, T, L, C)
+    x = jnp.transpose(x, (0, 2, 1, 4, 3))     # [B, T, H', C, L]
+    return x.reshape(B, T, Hs * C, L)
+
+
+def warp_rows_pallas_dma(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
+                         ipack: jnp.ndarray, fpack: jnp.ndarray, band: int,
+                         C: int, group: int = 8,
+                         packed: bool = False) -> jnp.ndarray:
+    """Forward band warp with the row gather fused into the kernel.
+
+    ``img_tiled`` [B, T, H'*C, L] (:func:`_tile_img_rows`), ``ymin_rows``
+    [B, Ho] int32 band-start in *sublane-row* units (stored row * C), ipack/
+    fpack as :func:`warp_rows_pallas`. Saves the [B, Ho, band*C, W] HBM
+    materialize + re-read of the XLA-side gather (~280 MB of traffic per pass
+    at the KITTI recipe)."""
+    B, T, HC, L = img_tiled.shape
+    Ho = ymin_rows.shape[1]
+    KL = band * C
+    while Ho % group != 0:
+        group //= 2
+    G = max(group, 1)
+
+    ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
+    fpack_tiled = _tile_w(fpack.astype(img_tiled.dtype), T, L)
+
+    kernel = functools.partial(_kernel_dma, G=G, T=T, band=band, C=C, L=L,
+                               packed=packed)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Ho // G),
+        in_specs=[
+            pl.BlockSpec((1, G, T, 6, L), lambda n, h, *_: (n, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, 4, L), lambda n, h, *_: (n, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, G, T, C, L),
+                               lambda n, h, *_: (n, h, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, G, T, KL, L), img_tiled.dtype),
+            pltpu.SemaphoreType.DMA((2, G)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Ho, T, C, L), img_tiled.dtype),
+        grid_spec=grid_spec,
+    )(ymin_rows.astype(jnp.int32), ipack_tiled, fpack_tiled, img_tiled)
+    return jnp.moveaxis(out, 3, 4).reshape(B, Ho, T * L, C)
+
+
+def warp_rows_pallas_dma_bwd(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
+                             ipack: jnp.ndarray, fpack8: jnp.ndarray,
+                             gcot_cw: jnp.ndarray, band: int, C: int,
+                             group: int = 8, packed: bool = False):
+    """Fused-DMA variant of :func:`warp_rows_pallas_bwd`."""
+    B, T, HC, L = img_tiled.shape
+    Ho = ymin_rows.shape[1]
+    KL = band * C
+    while Ho % group != 0:
+        group //= 2
+    G = max(group, 1)
+
+    ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
+    fpack_tiled = _tile_w(fpack8.astype(img_tiled.dtype), T, L)
+    gcot_tiled = _tile_w(gcot_cw.astype(img_tiled.dtype), T, L)
+
+    kernel = functools.partial(_kernel_dma_bwd, G=G, T=T, band=band, C=C,
+                               L=L, packed=packed)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Ho // G),
+        in_specs=[
+            pl.BlockSpec((1, G, T, 6, L), lambda n, h, *_: (n, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, 8, L), lambda n, h, *_: (n, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, C, L), lambda n, h, *_: (n, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, G, T, 2, L),
+                               lambda n, h, *_: (n, h, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, G, T, KL, L), img_tiled.dtype),
+            pltpu.SemaphoreType.DMA((2, G)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Ho, T, 2, L), img_tiled.dtype),
+        grid_spec=grid_spec,
+    )(ymin_rows.astype(jnp.int32), ipack_tiled, fpack_tiled, gcot_tiled,
+      img_tiled)
+    out = jnp.moveaxis(out, 2, 3).reshape(B, Ho, 2, T * L)
+    return out[:, :, 0], out[:, :, 1]
 
 
 def _tile_w(x: jnp.ndarray, T: int, L: int) -> jnp.ndarray:
@@ -286,20 +482,33 @@ def warp_rows_pallas_bwd(bands_cw: jnp.ndarray, ipack: jnp.ndarray,
     return out[:, :, 0], out[:, :, 1]
 
 
+# Fuse the band row-gather into the kernels as double-buffered DMA (default);
+# False restores the XLA-gather + materialized-band path for A/B comparison.
+import os as _os
+
+DMA_GATHER = _os.environ.get("FSNET_DMA_GATHER", "1") != "0"
+
+
 def grid_sample_band_pallas_bwd(image: jnp.ndarray, iw: dict, band: int,
                                 wxa0, wxa1, wya0, wya1,
                                 wxb0, wxb1, wyb0, wyb1,
-                                gcot: jnp.ndarray, group: int = 16):
+                                gcot: jnp.ndarray, group: int = 16,
+                                dma: bool | None = None):
     """Fused backward band warp: pass a = d out/d fx, pass b = d out/d fy,
     reduced against ``gcot`` [B, Ho, W, C]. Returns (gfx, gfy) [B, Ho, W]."""
     B, H, W, C = image.shape
     f32 = jnp.float32
-    bands_cw, rows, packed = _prep_bands(image, iw, band)
     L = W if W <= _LANE else _LANE
     ipack = _make_ipack(iw, W, L)
     fpack8 = jnp.stack([wxa0, wxa1, wya0, wya1,
                         wxb0, wxb1, wyb0, wyb1], axis=2).astype(f32)
     gcot_cw = jnp.transpose(gcot, (0, 1, 3, 2)).astype(f32)  # [B, Ho, C, W]
+    if DMA_GATHER if dma is None else dma:
+        img_tiled, ymin_rows, rows, packed = _prep_img_dma(image, iw, band)
+        return warp_rows_pallas_dma_bwd(img_tiled, ymin_rows, ipack, fpack8,
+                                        gcot_cw, rows, C,
+                                        group=min(group, 8), packed=packed)
+    bands_cw, rows, packed = _prep_bands(image, iw, band)
     return warp_rows_pallas_bwd(bands_cw, ipack, fpack8, gcot_cw, rows, C,
                                 group=group, packed=packed)
 
@@ -338,15 +547,32 @@ def _prep_bands(image, iw, band):
             band, False)
 
 
+def _prep_img_dma(image, iw, band):
+    """-> (img_tiled, ymin_rows, stored_rows, packed) for the fused-DMA
+    kernels, honoring the bf16 packing path. ``ymin_rows`` is in sublane-row
+    units of the [B, T, H'*C, L] tiled image."""
+    C = image.shape[3]
+    if _use_packed(image, band):
+        pimg = pack_rows_bf16(image)
+        return _tile_img_rows(pimg), (iw["ymin"] // 2) * C, band // 2, True
+    pimg = image.astype(jnp.float32)
+    return _tile_img_rows(pimg), iw["ymin"] * C, band, False
+
+
 def grid_sample_band_pallas(image: jnp.ndarray, iw: dict, band: int,
-                            wx0, wx1, wy0, wy1, group: int = 16) -> jnp.ndarray:
+                            wx0, wx1, wy0, wy1, group: int = 16,
+                            dma: bool | None = None) -> jnp.ndarray:
     """Forward band warp with explicit corner weights (shared by the fwd pass
     and the custom-VJP difference passes). Returns NHWC f32."""
     B, H, W, C = image.shape
-    bands_cw, rows, packed = _prep_bands(image, iw, band)
     L = W if W <= _LANE else _LANE
     ipack = _make_ipack(iw, W, L)
     fpack = jnp.stack([wx0, wx1, wy0, wy1], axis=2).astype(jnp.float32)
+    if DMA_GATHER if dma is None else dma:
+        img_tiled, ymin_rows, rows, packed = _prep_img_dma(image, iw, band)
+        return warp_rows_pallas_dma(img_tiled, ymin_rows, ipack, fpack, rows,
+                                    C, group=min(group, 8), packed=packed)
+    bands_cw, rows, packed = _prep_bands(image, iw, band)
     return warp_rows_pallas(bands_cw, ipack, fpack, rows, C, group=group,
                             packed=packed)
 
