@@ -122,11 +122,63 @@ class BatchNorm(nn.Module):
         )(x)
 
 
+class _ConvParams(nn.Module):
+    """Declares exactly the parameters ``nn.Conv`` would (same names, shapes,
+    initializers) without running it — lets the width-packed conv path share
+    one checkpoint format with the standard path."""
+
+    features: int
+    in_features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (*self.kernel_size, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return k, b
+
+
+class _BnVars(nn.Module):
+    """Declares exactly what ``nn.BatchNorm`` would (params scale/bias,
+    batch_stats mean/var) for the packed BN path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean, var
+
+
+class _BnScope(nn.Module):
+    """Name-compatibility wrapper: BatchNorm nests its nn.BatchNorm under
+    'bn', so the packed path mirrors <parent>/norm/bn/{scale,bias,...}."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _BnVars(self.features, name="bn")()
+
+
 class ConvBnReLU(nn.Module):
     """conv -> BN -> (ReLU) with torch-style explicit padding
     (reference ``blocks.py:33-55``). ``padding_mode`` extends the torch arg:
     'zeros' (default) or 'replicate' (edge) — the decoder's second upconv uses
-    replicate (reference ``depth_encoder.py:57``)."""
+    replicate (reference ``depth_encoder.py:57``).
+
+    Passing ``packed_C`` switches to the TPU width-packed path: ``x`` is then
+    a [B, H, NB, P*packed_C] packed tensor (``fsnet_tpu.ops.fast_conv``) and
+    the 3x3 conv runs as one block-Toeplitz MXU matmul with the SAME
+    parameters (identical checkpoint format either way)."""
 
     input_features: int = 1  # kept for API parity; flax infers input channels
     output_features: int = 1
@@ -141,7 +193,10 @@ class ConvBnReLU(nn.Module):
     norm_frozen: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 packed_C: Optional[int] = None) -> jnp.ndarray:
+        if packed_C is not None:
+            return self._call_packed(x, train, packed_C)
         k = _pair(self.kernel_size)
         pad = int((k[0] - 1) / 2) * self.dilation if self.padding.lower() == "same" else 0
         if pad > 0 and self.padding_mode == "replicate":
@@ -164,6 +219,38 @@ class ConvBnReLU(nn.Module):
         if self.relu:
             x = jax.nn.relu(x)
         return x
+
+    def _call_packed(self, xp: jnp.ndarray, train: bool,
+                     C: int) -> jnp.ndarray:
+        """Width-packed conv+BN+ReLU; math identical to the standard path."""
+        from ..ops import fast_conv as fc
+
+        assert _pair(self.kernel_size) == (3, 3), self.kernel_size
+        assert _pair(self.stride) == (1, 1) and self.dilation == 1
+        Co = self.output_features
+        k, b = _ConvParams(Co, C, name="conv")()
+        pad_mode = "replicate" if self.padding_mode == "replicate" else "zeros"
+        xp = fc.conv3x3_packed(xp, k, b, C=C, pad_mode=pad_mode)
+
+        scale, bias, mean_v, var_v = _BnScope(Co, name="norm")()
+        momentum, eps = 0.9, 1e-5
+        use_ra = (not train) or self.norm_frozen
+        if use_ra:
+            mean, var = mean_v.value, var_v.value
+        else:
+            mean, var = fc.batch_moments_packed(xp, Co)
+            if self.norm_axis_name is not None:
+                m2 = var + jnp.square(mean)
+                mean = jax.lax.pmean(mean, self.norm_axis_name)
+                m2 = jax.lax.pmean(m2, self.norm_axis_name)
+                var = m2 - jnp.square(mean)
+            if not self.is_initializing():
+                mean_v.value = momentum * mean_v.value + (1 - momentum) * mean
+                var_v.value = momentum * var_v.value + (1 - momentum) * var
+        xp = fc.batchnorm_packed(xp, Co, mean, var, scale, bias, epsilon=eps)
+        if self.relu:
+            xp = jax.nn.relu(xp)
+        return xp
 
 
 class ConvReLU(nn.Module):

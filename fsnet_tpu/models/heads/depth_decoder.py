@@ -32,44 +32,115 @@ NUM_CH_DEC = (16, 32, 64, 128, 256)
 
 def _replicate_pad_conv(features: int, name: str) -> nn.Module:
     """3x3 conv with replicate (edge) padding — the reference's
-    ``padding_mode='replicate'`` dispconv (``depth_encoder.py:63``)."""
+    ``padding_mode='replicate'`` dispconv (``depth_encoder.py:63``).
+
+    Called with ``packed_C`` the input is width-packed and the conv runs as a
+    block-Toeplitz MXU matmul; the output is then unpacked NHWC (the packed
+    rep of [B, H, W, C] is a free reshape). Parameters are identical either
+    way."""
 
     class _RepConv(nn.Module):
         @nn.compact
-        def __call__(self, x):
+        def __call__(self, x, packed_C: Optional[int] = None):
+            from ...ops import fast_conv as fc
+
+            if packed_C is not None:
+                P_out = max(128 // features, 1)
+                W_tot = x.shape[2] * (x.shape[3] // packed_C)
+                if W_tot % P_out == 0:
+                    from ..blocks import _ConvParams
+
+                    k, b = _ConvParams(features, packed_C, name="conv")()
+                    out = fc.conv3x3_packed(x, k, b, C=packed_C,
+                                            pad_mode="replicate")
+                    return fc.unpack_width(out, features)
+                x = fc.unpack_width(x, packed_C)   # free reshape fallback
             x = pad2d(x, 1, "edge")
             return nn.Conv(features, (3, 3), padding="VALID", name="conv")(x)
 
     return _RepConv(name=name)
 
 
+def _use_packed_trunk(packed: Optional[bool], input_features) -> bool:
+    """Resolve the packed-layout switch: explicit flag wins; ``None`` enables
+    it on TPU backends when the fine-stage widths are lane-packable."""
+    if packed is not None:
+        return packed
+    import jax as _jax
+
+    if _jax.default_backend() not in ("tpu", "axon"):
+        return False
+    W = input_features[0].shape[2] * 2  # full-res width (stem is at /2)
+    return W % 64 == 0
+
+
 class _DecoderTrunk(nn.Module):
     """The 5-stage up-conv trunk shared by all decoder variants
     (reference ``depth_encoder.py:90-111`` loop). Yields per-stage feature maps
-    for stages listed in ``scales``."""
+    for stages listed in ``scales``.
+
+    ``packed`` selects the TPU width-packed layout for the fine stages
+    (channels <= 64): every tensor keeps P*C >= 128 channels-minor so the
+    small-channel convs/BN/concats run lane-full (XLA's native path wastes
+    ~8x bandwidth there — see BASELINE.md). Parameters and math are identical;
+    when enabled, returned stage feature maps are packed tensors
+    [B, H_s, W_s/P, P*C] (a free reshape of NHWC). ``None`` = auto on TPU."""
 
     scales: Sequence[int]
     use_skips: bool = True
     norm_axis_name: Optional[str] = None
+    packed: Optional[bool] = None
 
     @nn.compact
     def __call__(self, input_features, train: bool = True):
+        from ...ops import fast_conv as fc
+
+        packed = _use_packed_trunk(self.packed, input_features)
         stage_feats = {}
         x = input_features[-1]
+        xC = x.shape[-1]
+        is_packed = False
         for i in range(4, -1, -1):
-            x = ConvBnReLU(output_features=NUM_CH_DEC[i], kernel_size=(3, 3),
-                           norm_axis_name=self.norm_axis_name,
-                           name=f"upconv_{i}_0")(x, train)
-            x = upsample2x_nearest(x)
+            ch = NUM_CH_DEC[i]
+            pack_here = packed and ch <= 64
+            conv0 = ConvBnReLU(output_features=ch, kernel_size=(3, 3),
+                               norm_axis_name=self.norm_axis_name,
+                               name=f"upconv_{i}_0")
+            if pack_here and not is_packed:
+                x = fc.pack_width(x, 1)
+                is_packed = True
+            x = conv0(x, train, packed_C=xC if is_packed else None)
+            xC = ch
+            if is_packed:
+                x = fc.upsample2x_packed(x, xC)
+            else:
+                x = upsample2x_nearest(x)
             if self.use_skips and i > 0:
-                x = jnp.concatenate([x, input_features[i - 1]], axis=-1)
-            x = ConvBnReLU(output_features=NUM_CH_DEC[i], kernel_size=(3, 3),
-                           padding_mode="replicate",
-                           norm_axis_name=self.norm_axis_name,
-                           name=f"upconv_{i}_1")(x, train)
+                skip = input_features[i - 1]
+                sC = skip.shape[-1]
+                if is_packed:
+                    P = x.shape[-1] // xC
+                    x = fc.concat_packed(x, xC, fc.pack_width(skip, P), sC, P)
+                else:
+                    x = jnp.concatenate([x, skip], axis=-1)
+                xC = xC + sC
+            conv1 = ConvBnReLU(output_features=ch, kernel_size=(3, 3),
+                               padding_mode="replicate",
+                               norm_axis_name=self.norm_axis_name,
+                               name=f"upconv_{i}_1")
+            x = conv1(x, train, packed_C=xC if is_packed else None)
+            xC = ch
             if i in self.scales:
-                stage_feats[i] = x
+                stage_feats[i] = (x, xC) if is_packed else x
         return stage_feats
+
+
+def _apply_dispconv(conv, feat):
+    """Apply a dispconv to a trunk stage output, which is either NHWC or a
+    (packed_tensor, C) pair from the packed trunk."""
+    if isinstance(feat, tuple):
+        return conv(feat[0], packed_C=feat[1])
+    return conv(feat)
 
 
 def _get_scale(P2: Optional[jnp.ndarray], base_fx: Optional[float]):
@@ -91,16 +162,19 @@ class DepthDecoder(nn.Module):
     max_depth: float = 100.0
     base_fx: Optional[float] = None
     norm_axis_name: Optional[str] = None
+    packed: Optional[bool] = None
 
     @nn.compact
     def __call__(self, input_features, P2=None, train: bool = True):
         outputs = {}
         depth_scale = _get_scale(P2, self.base_fx)
         feats = _DecoderTrunk(self.scales, self.use_skips, self.norm_axis_name,
+                              self.packed,
                               name="trunk")(input_features, train)
         for i in self.scales:
-            logits = _replicate_pad_conv(self.num_output_channels,
-                                         name=f"dispconv_{i}")(feats[i])
+            logits = _apply_dispconv(
+                _replicate_pad_conv(self.num_output_channels,
+                                    name=f"dispconv_{i}"), feats[i])
             outputs[("logits", i)] = logits
             disp = jax.nn.sigmoid(logits)
             outputs[("disp", i)] = disp
@@ -121,13 +195,15 @@ class MultiChannelDepthDecoder(nn.Module):
     max_depth: float = 100.0
     base_fx: Optional[float] = None
     norm_axis_name: Optional[str] = None
+    packed: Optional[bool] = None
 
     def setup(self):
         self.depth_bins = jnp.asarray(
             build_depth_bins(self.min_depth, self.max_depth,
                              self.num_output_channels))
         self.trunk = _DecoderTrunk(self.scales, self.use_skips,
-                                   self.norm_axis_name, name="trunk")
+                                   self.norm_axis_name, self.packed,
+                                   name="trunk")
         self.dispconvs = {
             str(i): _replicate_pad_conv(self.num_output_channels,
                                         name=f"dispconv_{i}")
@@ -149,7 +225,7 @@ class MultiChannelDepthDecoder(nn.Module):
         depth_scale = _get_scale(P2, self.base_fx)
         feats = self.trunk(input_features, train)
         for i in self.scales:
-            logits = self.dispconvs[str(i)](feats[i])
+            logits = _apply_dispconv(self.dispconvs[str(i)], feats[i])
             outputs[("logits", i)] = logits
             outputs[("depth", i, i)], outputs[("disp", i)] = self.gather_output(
                 logits, depth_scale)
@@ -168,13 +244,15 @@ class MultiChannelDepthDecoderUncertain(nn.Module):
     max_depth: float = 100.0
     base_fx: Optional[float] = None
     norm_axis_name: Optional[str] = None
+    packed: Optional[bool] = None
 
     def setup(self):
         self.depth_bins = jnp.asarray(
             build_depth_bins(self.min_depth, self.max_depth,
                              self.num_output_channels))
         self.trunk = _DecoderTrunk(self.scales, self.use_skips,
-                                   self.norm_axis_name, name="trunk")
+                                   self.norm_axis_name, self.packed,
+                                   name="trunk")
         self.dispconvs = {
             str(i): _replicate_pad_conv(self.num_output_channels,
                                         name=f"dispconv_{i}")
@@ -191,11 +269,12 @@ class MultiChannelDepthDecoderUncertain(nn.Module):
         feats = self.trunk(input_features, train)
         for i in self.scales:
             x = feats[i]
-            depth = gather_activation(self.dispconvs[str(i)](x), self.depth_bins)
+            depth = gather_activation(_apply_dispconv(self.dispconvs[str(i)], x),
+                                      self.depth_bins)
             depth = depth * depth_scale
             outputs[("depth", i, i)] = depth
             outputs[("disp", i)] = depth_to_disp(
                 depth, self.min_depth * depth_scale, self.max_depth * depth_scale)
             outputs[("uncertain_z", i)] = jax.nn.sigmoid(
-                self.uncertain_convs[str(i)](x))
+                _apply_dispconv(self.uncertain_convs[str(i)], x))
         return outputs

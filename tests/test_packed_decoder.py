@@ -1,0 +1,85 @@
+"""Width-packed decoder path (fsnet_tpu/ops/fast_conv.py): numerical
+equivalence with the standard NHWC path under SHARED parameters, and the
+packed conv against XLA's native conv."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fsnet_tpu.ops import fast_conv as fc
+
+
+def test_conv3x3_packed_matches_native():
+    rng = np.random.RandomState(0)
+    for C, Co, H, W, pad_mode in [(16, 16, 12, 64, "zeros"),
+                                  (16, 16, 12, 64, "replicate"),
+                                  (32, 16, 8, 32, "replicate"),
+                                  (64, 32, 8, 32, "zeros"),
+                                  (96, 32, 6, 16, "replicate")]:
+        x = jnp.asarray(rng.rand(2, H, W, C).astype(np.float32))
+        w = jnp.asarray((rng.rand(3, 3, C, Co) - 0.5).astype(np.float32))
+        b = jnp.asarray(rng.rand(Co).astype(np.float32))
+
+        if pad_mode == "replicate":
+            xp_ref = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+            ref = jax.lax.conv_general_dilated(
+                xp_ref, w, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        else:
+            ref = jax.lax.conv_general_dilated(
+                x, w, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+        out = fc.conv3x3_packed(fc.pack_width(x, 1), w, b, C=C,
+                                pad_mode=pad_mode)
+        out = fc.unpack_width(out, Co)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_upsample_concat_packed():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 8, 16, 32).astype(np.float32))
+    xp = fc.pack_width(x, 4)
+    up = fc.upsample2x_packed(xp, 32)
+    ref = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    np.testing.assert_array_equal(np.asarray(fc.unpack_width(up, 32)),
+                                  np.asarray(ref))
+
+    y = jnp.asarray(rng.rand(2, 8, 16, 16).astype(np.float32))
+    cat = fc.concat_packed(fc.pack_width(x, 4), 32, fc.pack_width(y, 4), 16, 4)
+    ref = jnp.concatenate([x, y], axis=-1)
+    np.testing.assert_array_equal(np.asarray(fc.unpack_width(cat, 48)),
+                                  np.asarray(ref))
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_packed_decoder_matches_unpacked(train):
+    from fsnet_tpu.models.heads.depth_decoder import MultiChannelDepthDecoder
+
+    rng = np.random.RandomState(0)
+    B, H, W = 2, 64, 128
+    feats = [jnp.asarray(rng.rand(B, H // s, W // s, c).astype(np.float32))
+             for s, c in [(2, 64), (4, 64), (8, 128), (16, 256), (32, 512)]]
+
+    dec_u = MultiChannelDepthDecoder(packed=False, scales=(0, 1, 2, 3),
+                                     min_depth=0.5, max_depth=100.0)
+    dec_p = MultiChannelDepthDecoder(packed=True, scales=(0, 1, 2, 3),
+                                     min_depth=0.5, max_depth=100.0)
+    v = dec_u.init(jax.random.PRNGKey(0), feats, train=True)
+    vp = dec_p.init(jax.random.PRNGKey(0), feats, train=True)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(vp))
+
+    ou, mu = dec_u.apply(v, feats, train=train, mutable=["batch_stats"])
+    op, mp = dec_p.apply(v, feats, train=train, mutable=["batch_stats"])
+    for k in ou:
+        np.testing.assert_allclose(np.asarray(ou[k]), np.asarray(op[k]),
+                                   atol=5e-4, rtol=1e-3, err_msg=str(k))
+    # BN running-stat updates agree too
+    for (pu, su), (pp, sp) in zip(
+            jax.tree_util.tree_leaves_with_path(mu),
+            jax.tree_util.tree_leaves_with_path(mp)):
+        np.testing.assert_allclose(np.asarray(su), np.asarray(sp),
+                                   atol=5e-4, rtol=1e-3, err_msg=str(pu))
