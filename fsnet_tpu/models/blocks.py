@@ -220,15 +220,17 @@ class ConvBnReLU(nn.Module):
             x = jax.nn.relu(x)
         return x
 
-    def _call_packed(self, xp: jnp.ndarray, train: bool,
-                     C: int) -> jnp.ndarray:
-        """Width-packed conv+BN+ReLU; math identical to the standard path."""
+    def _call_packed(self, xp, train: bool, C) -> jnp.ndarray:
+        """Width-packed conv+BN+ReLU; math identical to the standard path.
+        ``xp``/``C`` may be tuples of parts (an unmaterialized channel
+        concat, see :func:`fsnet_tpu.ops.fast_conv.conv3x3_packed`)."""
         from ..ops import fast_conv as fc
 
         assert _pair(self.kernel_size) == (3, 3), self.kernel_size
         assert _pair(self.stride) == (1, 1) and self.dilation == 1
         Co = self.output_features
-        k, b = _ConvParams(Co, C, name="conv")()
+        C_total = sum(C) if isinstance(C, (tuple, list)) else C
+        k, b = _ConvParams(Co, C_total, name="conv")()
         pad_mode = "replicate" if self.padding_mode == "replicate" else "zeros"
         xp = fc.conv3x3_packed(xp, k, b, C=C, pad_mode=pad_mode)
 

@@ -119,11 +119,13 @@ class _DecoderTrunk(nn.Module):
                 skip = input_features[i - 1]
                 sC = skip.shape[-1]
                 if is_packed:
-                    P = x.shape[-1] // xC
-                    x = fc.concat_packed(x, xC, fc.pack_width(skip, P), sC, P)
+                    # no materialized concat: the packed conv takes the
+                    # parts and fuses the channel-concat into its columns
+                    x = (x, fc.pack_width(skip, 1))
+                    xC = (xC, sC)
                 else:
                     x = jnp.concatenate([x, skip], axis=-1)
-                xC = xC + sC
+                    xC = xC + sC
             conv1 = ConvBnReLU(output_features=ch, kernel_size=(3, 3),
                                padding_mode="replicate",
                                norm_axis_name=self.norm_axis_name,

@@ -29,6 +29,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def pack_width(x: jnp.ndarray, P: int) -> jnp.ndarray:
@@ -59,25 +60,12 @@ def _toeplitz_wmat(w: jnp.ndarray, P: int) -> jnp.ndarray:
     return wmat.reshape(kH, span * C, P * Co)
 
 
-def conv3x3_packed(xp: jnp.ndarray, w: jnp.ndarray,
-                   bias: Optional[jnp.ndarray] = None,
-                   C: int = None, pad_mode: str = "zeros") -> jnp.ndarray:
-    """Stride-1 SAME 3x3 conv on a width-packed tensor.
-
-    ``xp`` [B, H, NB, P_in*C] packed input (any P_in), ``w`` [3, 3, C, Co]
-    (flax HWIO), ``pad_mode`` 'zeros' or 'replicate' (torch
-    ``padding_mode='replicate'``). Returns the output packed at
-    ``P_out = max(128 // Co, 1)``: [B, H, (NB*P_in)//P_out, P_out*Co].
-    """
-    kH, kW, Cw, Co = w.shape
-    assert (kH, kW) == (3, 3), (kH, kW)
-    C = Cw if C is None else C
-    P_out = max(128 // Co, 1)
-    xp = repack(xp, C, P_out)
+def _part_cols(xp: jnp.ndarray, C: int, P: int, pad_mode: str) -> jnp.ndarray:
+    """One input part's window columns [B, H, NB, (P+2)*C] (the packed row
+    extended by one source column on each side via neighbor-block channel
+    slices)."""
+    xp = repack(xp, C, P)
     B, H, NB, PC = xp.shape
-    P = PC // C
-    assert P == P_out
-
     xw = xp.reshape(B, H, NB, P, C)
     if pad_mode == "replicate":
         left0 = xw[:, :, 0:1, 0]
@@ -87,22 +75,64 @@ def conv3x3_packed(xp: jnp.ndarray, w: jnp.ndarray,
         rightn = left0
     l = jnp.concatenate([left0, xw[:, :, :-1, P - 1]], axis=2)
     r = jnp.concatenate([xw[:, :, 1:, 0], rightn], axis=2)
-    cols = jnp.concatenate(
+    return jnp.concatenate(
         [l[:, :, :, None], xw, r[:, :, :, None]], axis=3
     ).reshape(B, H, NB, (P + 2) * C)
+
+
+def conv3x3_packed(xp, w: jnp.ndarray,
+                   bias: Optional[jnp.ndarray] = None,
+                   C=None, pad_mode: str = "zeros") -> jnp.ndarray:
+    """Stride-1 SAME 3x3 conv on width-packed tensor(s).
+
+    ``xp`` is one packed [B, H, NB, P_in*C] tensor (any P_in) or a
+    tuple/list of them — a multi-part input is convolved as if the parts
+    were channel-concatenated (``w``'s input-channel axis spans the parts in
+    order), WITHOUT materializing the concat. ``w`` [3, 3, sum(C), Co]
+    (flax HWIO), ``pad_mode`` 'zeros' or 'replicate'. Returns the output
+    packed at ``P_out = max(128 // Co, 1)``: [B, H, W//P_out, P_out*Co].
+
+    Compute shape: the whole conv is ONE 2D matmul
+    [B*(H+2)*NB, K] @ [K, 3*P*Co] (K = 3x3 taps unrolled into a
+    block-Toeplitz weight; all three dy planes share one read of the window
+    columns) followed by three H-shifted lane-block adds. Flattening to 2D
+    matters: a [..., NB, K] @ [K, N] dot lowers with M=NB(~80) batched
+    matmuls that starve the 128x128 MXU."""
+    parts = xp if isinstance(xp, (tuple, list)) else [xp]
+    Cs = list(C) if isinstance(C, (tuple, list)) else [
+        parts[0].shape[-1] if C is None else C]
+    assert len(parts) == len(Cs)
+    kH, kW, Cw, Co = w.shape
+    assert (kH, kW) == (3, 3), (kH, kW)
+    assert Cw == sum(Cs), (Cw, Cs)
+    P = max(128 // Co, 1)
+
+    cols = [_part_cols(p, c, P, pad_mode) for p, c in zip(parts, Cs)]
+    cols = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=3)
+    B, H, NB, K = cols.shape
 
     if pad_mode == "replicate":
         colsp = jnp.concatenate([cols[:, :1], cols, cols[:, -1:]], axis=1)
     else:
         colsp = jnp.pad(cols, ((0, 0), (1, 1), (0, 0), (0, 0)))
 
-    wmat = _toeplitz_wmat(w, P)
-    out = None
-    for dy in range(3):
-        part = jnp.dot(colsp[:, dy:dy + H], wmat[dy],
-                       preferred_element_type=jnp.float32)
-        out = part if out is None else out + part
-    out = out.astype(xp.dtype)
+    off = 0
+    wmats = []
+    for c in Cs:
+        wmats.append(_toeplitz_wmat(w[:, :, off:off + c, :], P))
+        off += c
+    # [3, K, P*Co] with rows grouped (part, j, ci) to match the cols order
+    wmat = (wmats[0] if len(wmats) == 1
+            else jnp.concatenate(wmats, axis=1))
+    wcat = jnp.concatenate([wmat[0], wmat[1], wmat[2]], axis=1)  # [K, 3PCo]
+
+    acc_t = jnp.float32 if cols.dtype == jnp.float32 else cols.dtype
+    y = jnp.dot(colsp.reshape(-1, K), wcat.astype(cols.dtype),
+                preferred_element_type=acc_t)
+    N = P * Co
+    y = y.reshape(B, H + 2, NB, 3 * N)
+    out = (y[:, 0:H, :, 0:N] + y[:, 1:H + 1, :, N:2 * N]
+           + y[:, 2:H + 2, :, 2 * N:]).astype(cols.dtype)
     if bias is not None:
         out = out + jnp.tile(bias.astype(out.dtype), P)
     return out
@@ -122,32 +152,60 @@ def batchnorm_packed(xp: jnp.ndarray, C: int, mean, var, gamma, beta,
 
 def batch_moments_packed(xp: jnp.ndarray, C: int):
     """Batch mean/var per real channel of a packed tensor (for training-mode
-    BN): reduces over batch, H, W-blocks AND the P phases."""
-    B, H, NB, PC = xp.shape
+    BN): reduces over batch, H, W-blocks AND the P phases.
+
+    The big (B, H, NB) reduction runs on the lane-full PC-minor tensor; only
+    the tiny [P, C] -> [C] phase fold reshapes to C-minor (a [PC] vector)."""
+    xf = xp.astype(jnp.float32)
+    n = xp.shape[0] * xp.shape[1] * xp.shape[2]
+    s1 = jnp.sum(xf, axis=(0, 1, 2))                    # [PC]
+    s2 = jnp.sum(jnp.square(xf), axis=(0, 1, 2))        # [PC]
+    PC = xp.shape[-1]
     P = PC // C
-    xv = xp.astype(jnp.float32).reshape(B, H, NB, P, C)
-    mean = jnp.mean(xv, axis=(0, 1, 2, 3))
-    var = jnp.mean(jnp.square(xv), axis=(0, 1, 2, 3)) - jnp.square(mean)
-    return mean, var
+    mean = jnp.sum(s1.reshape(P, C), axis=0) / (n * P)
+    m2 = jnp.sum(s2.reshape(P, C), axis=0) / (n * P)
+    return mean, m2 - jnp.square(mean)
+
+
+def _shuffle_matrix(src_pc: int, dst_pc: int, dst_of_src) -> np.ndarray:
+    """0/1 [src_pc, dst_pc] lane-shuffle matrix: channel shuffles of packed
+    tensors run as MXU matmuls (full-bandwidth) instead of C-minor
+    reshape+concat relayouts (which XLA executes at ~1/8 bandwidth)."""
+    m = np.zeros((src_pc, dst_pc), np.float32)
+    for s in range(src_pc):
+        for d in dst_of_src(s):
+            m[s, d] = 1.0
+    return m
 
 
 def upsample2x_packed(xp: jnp.ndarray, C: int) -> jnp.ndarray:
     """2x nearest upsample of a packed tensor; returns packing P' = 2P
     (so ``P*C`` stays at 128 when channel count halves between decoder
-    stages). out[(b, 2h+{0,1}, wb, (2p+{0,1}, c))] = in[b, h, wb, (p, c)]."""
+    stages). out[(b, 2h+{0,1}, wb, (2p+{0,1}, c))] = in[b, h, wb, (p, c)].
+    The W-phase duplication is a 0/1 shuffle matmul; the H duplication a
+    broadcast."""
     B, H, NB, PC = xp.shape
     P = PC // C
-    xv = xp.reshape(B, H, NB, P, C)
-    xv = jnp.broadcast_to(xv[:, :, None, :, :, None, :],
-                          (B, H, 2, NB, P, 2, C))
-    return xv.reshape(B, H * 2, NB, 2 * P * C)
+    sel = jnp.asarray(_shuffle_matrix(
+        PC, 2 * PC,
+        lambda s: ((2 * (s // C) + 0) * C + s % C,
+                   (2 * (s // C) + 1) * C + s % C))).astype(xp.dtype)
+    up = jnp.dot(xp, sel, preferred_element_type=xp.dtype)  # [B,H,NB,2PC]
+    up = jnp.broadcast_to(up[:, :, None], (B, H, 2, NB, 2 * PC))
+    return up.reshape(B, H * 2, NB, 2 * PC)
 
 
 def concat_packed(a: jnp.ndarray, Ca: int, b: jnp.ndarray, Cb: int,
                   P: int) -> jnp.ndarray:
     """Channel-concat two packed tensors (same spatial shape, same P):
-    out real channels = [a's Ca | b's Cb]."""
-    B, H, NB, _ = a.shape
-    av = a.reshape(B, H, NB, P, Ca)
-    bv = b.reshape(B, H, NB, P, Cb)
-    return jnp.concatenate([av, bv], axis=4).reshape(B, H, NB, P * (Ca + Cb))
+    out real channels = [a's Ca | b's Cb]. Runs as two 0/1 shuffle matmuls
+    summed (keeps every pass lane-full)."""
+    Cc = Ca + Cb
+    sa = jnp.asarray(_shuffle_matrix(
+        P * Ca, P * Cc,
+        lambda s: ((s // Ca) * Cc + s % Ca,))).astype(a.dtype)
+    sb = jnp.asarray(_shuffle_matrix(
+        P * Cb, P * Cc,
+        lambda s: ((s // Cb) * Cc + Ca + s % Cb,))).astype(b.dtype)
+    return (jnp.dot(a, sa, preferred_element_type=a.dtype)
+            + jnp.dot(b, sb, preferred_element_type=b.dtype))
