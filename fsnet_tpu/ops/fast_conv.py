@@ -51,33 +51,41 @@ def repack(xp: jnp.ndarray, C: int, P_new: int) -> jnp.ndarray:
 
 
 def _toeplitz_wmat(w: jnp.ndarray, P: int) -> jnp.ndarray:
-    """w [kH, kW, C, Co] -> [kH, (P+kW-1)*C, P*Co] block-Toeplitz (traced)."""
+    """w [kH, kW, C, Co] -> [kH, (P+kW-1)*C, P*Co] block-Toeplitz (traced),
+    rows ordered [window cols 0..P-1 | left halo | right halo] to match
+    :func:`_part_cols`."""
     kH, kW, C, Co = w.shape
     span = P + kW - 1
     wmat = jnp.zeros((kH, span, C, P, Co), w.dtype)
     for p in range(P):
         wmat = wmat.at[:, p:p + kW, :, p, :].set(w)
+    wmat = wmat.reshape(kH, span, C * P * Co)
+    # window order (l, 0..P-1, r) -> cols order (0..P-1, l, r)
+    wmat = jnp.concatenate([wmat[:, 1:P + 1], wmat[:, 0:1], wmat[:, P + 1:]],
+                           axis=1)
     return wmat.reshape(kH, span * C, P * Co)
 
 
 def _part_cols(xp: jnp.ndarray, C: int, P: int, pad_mode: str) -> jnp.ndarray:
-    """One input part's window columns [B, H, NB, (P+2)*C] (the packed row
-    extended by one source column on each side via neighbor-block channel
-    slices)."""
+    """One input part's window columns [B, H, NB, (P+2)*C], ordered
+    [block columns | left-halo col | right-halo col].
+
+    Putting the halo channels at the END (instead of window order) makes the
+    dominant concat piece a lane-aligned full-bandwidth copy of the packed
+    row itself — interleaving the halos forced the whole cols tensor through
+    a C-minor relayout (~7x slower, see BASELINE.md). The Toeplitz weight
+    rows are reordered to match (:func:`_toeplitz_wmat` ``halo_last``)."""
     xp = repack(xp, C, P)
     B, H, NB, PC = xp.shape
-    xw = xp.reshape(B, H, NB, P, C)
     if pad_mode == "replicate":
-        left0 = xw[:, :, 0:1, 0]
-        rightn = xw[:, :, -1:, P - 1]
+        left0 = xp[:, :, 0:1, 0:C]
+        rightn = xp[:, :, -1:, PC - C:]
     else:
-        left0 = jnp.zeros_like(xw[:, :, 0:1, 0])
+        left0 = jnp.zeros_like(xp[:, :, 0:1, 0:C])
         rightn = left0
-    l = jnp.concatenate([left0, xw[:, :, :-1, P - 1]], axis=2)
-    r = jnp.concatenate([xw[:, :, 1:, 0], rightn], axis=2)
-    return jnp.concatenate(
-        [l[:, :, :, None], xw, r[:, :, :, None]], axis=3
-    ).reshape(B, H, NB, (P + 2) * C)
+    l = jnp.concatenate([left0, xp[:, :, :-1, PC - C:]], axis=2)
+    r = jnp.concatenate([xp[:, :, 1:, 0:C], rightn], axis=2)
+    return jnp.concatenate([xp, l, r], axis=3)
 
 
 def conv3x3_packed(xp, w: jnp.ndarray,
