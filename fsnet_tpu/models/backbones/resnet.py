@@ -131,7 +131,7 @@ class ResNet(nn.Module):
         frozen = self.norm_eval  # norm_eval freezes BN stats even in training
 
         outs = []
-        x = _conv(64, 7, 2, name="conv1")(x)
+        x = self._stem_conv(x)
         x = BatchNorm(axis_name=self.norm_axis_name, frozen=frozen,
                       name="bn1")(x, train)
         x = jax.nn.relu(x)
@@ -161,6 +161,14 @@ class ResNet(nn.Module):
             if i in self.out_indices:
                 outs.append(x)
         return outs
+
+    def _stem_conv(self, x: jnp.ndarray) -> jnp.ndarray:
+        """7x7 stride-2 stem (native conv). A W-minor matmul reformulation
+        exists (:func:`fsnet_tpu.ops.fast_conv.conv7x7s2`, exact) but
+        benched SLOWER end-to-end (166.3 -> 153.6 imgs/s — its backward
+        scatters through 63 window pieces), so it is not dispatched; see
+        BASELINE.md."""
+        return _conv(64, 7, 2, name="conv1")(x)
 
 
 def resnet(depth: int, pretrained: bool = False, pretrained_path: str = "",

@@ -130,11 +130,14 @@ class _ConvParams(nn.Module):
     features: int
     in_features: int
     kernel_size: Tuple[int, int] = (3, 3)
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         k = self.param("kernel", nn.initializers.lecun_normal(),
                        (*self.kernel_size, self.in_features, self.features))
+        if not self.use_bias:
+            return k, None
         b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
         return k, b
 

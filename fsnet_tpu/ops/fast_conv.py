@@ -146,6 +146,53 @@ def conv3x3_packed(xp, w: jnp.ndarray,
     return out
 
 
+def conv7x7s2(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """7x7 stride-2 pad-3 conv for tiny input channels (the ResNet stem,
+    C=3 or 6): XLA's native conv runs it at ~2% of peak because the C-minor
+    layout uses 3 of 128 lanes. Reformulated as a K=(7*span*C)-contraction
+    matmul over W-minor column pieces (every piece copy is lane-full).
+
+    ``x`` [B, H, W, C] NHWC, ``w`` [7, 7, C, Co]; returns [B, H//2, W//2, Co]
+    (reference stem semantics, torchvision conv1)."""
+    B, H, W, C = x.shape
+    kH, kW, Cw, Co = w.shape
+    assert (kH, kW) == (7, 7) and Cw == C
+    S = 2
+    P = max(128 // Co, 1)
+    Ho, Wo = H // S, W // S
+    NB = Wo // P
+    SP = S * P
+    span = (P - 1) * S + kW
+
+    xt = jnp.transpose(x, (0, 1, 3, 2))               # [B, H, C, W]
+    Wp = -(-(W + 6) // SP) * SP
+    xt = jnp.pad(xt, ((0, 0), (3, 3), (0, 0), (3, Wp - W - 3)))
+    Hp = H + 6
+    xv = xt.reshape(B, Hp // 2, 2, C, Wp // SP, SP)
+
+    pieces = []
+    for dy in range(kH):
+        hb, hpar = dy // 2, dy % 2
+        for j in range(span):
+            wb, wsub = j // SP, j % SP
+            pieces.append(
+                xv[:, hb:hb + Ho, hpar, :, wb:wb + NB, wsub])  # [B,Ho,C,NB]
+    cols = jnp.stack(pieces, axis=2)                   # [B, Ho, 49.., C, NB]
+    cols = cols.reshape(B, Ho, kH * span * C, NB)
+
+    wmat = jnp.zeros((kH, span, C, P, Co), w.dtype)
+    for p in range(P):
+        wmat = wmat.at[:, S * p:S * p + kW, :, p, :].set(w)
+    wmat = wmat.reshape(kH * span * C, P * Co)
+
+    acc_t = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+    out = jax.lax.dot_general(
+        cols, wmat.astype(cols.dtype),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=acc_t)                  # [B, Ho, NB, P*Co]
+    return out.astype(x.dtype).reshape(B, Ho, Wo, Co)
+
+
 def batchnorm_packed(xp: jnp.ndarray, C: int, mean, var, gamma, beta,
                      epsilon: float = 1e-5) -> jnp.ndarray:
     """Apply per-channel affine BN stats to a packed tensor (stats are per

@@ -38,6 +38,19 @@ def test_conv3x3_packed_matches_native():
                                    atol=2e-4, rtol=1e-4)
 
 
+def test_conv7x7s2_matches_native():
+    rng = np.random.RandomState(2)
+    for C, H, W in [(3, 32, 64), (6, 16, 32)]:
+        x = jnp.asarray(rng.rand(2, H, W, C).astype(np.float32))
+        w = jnp.asarray((rng.rand(7, 7, C, 64) - 0.5).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, w, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = fc.conv7x7s2(x, w)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
+
 def test_upsample_concat_packed():
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.rand(2, 8, 16, 32).astype(np.float32))
