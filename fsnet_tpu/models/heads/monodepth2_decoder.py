@@ -151,15 +151,14 @@ class MonoDepth2Decoder(nn.Module):
         C = sources.shape[-1]
         sources_flat = sources.reshape(F * B, H, W, C)
 
-        # lax.map over scales bounds peak HBM: each chunk's band tensors are
-        # [F*B, Ho, band, W, C] instead of S x that
-        def warp_scale(grids_s):
-            return grid_sample(sources_flat, grids_s.reshape(F * B, H, W, 2),
-                               mode="bilinear", padding_mode="border",
-                               align_corners=True, impl=self.warp_impl,
-                               band=self.warp_band)
-
-        preds = jax.lax.map(warp_scale, grids)       # [S, F*B, H, W, C]
+        # ALL S x F warps in one batched pass: the Pallas kernels index the
+        # F*B source images modulo the image batch, so the sources are not
+        # tiled and no per-scale serialization (lax.map) remains
+        preds = grid_sample(sources_flat,
+                            grids.reshape(S * F * B, H, W, 2),
+                            mode="bilinear", padding_mode="border",
+                            align_corners=True, impl=self.warp_impl,
+                            band=self.warp_band)
         preds = preds.reshape(S, F, B, H, W, C)
 
         if self.is_light_compensate:
@@ -188,14 +187,11 @@ class MonoDepth2Decoder(nn.Module):
                     patched[None, ..., None].astype(preds.dtype),
                     (F, B, H, W, 1)).reshape(F * B, H, W, 1)
 
-                def warp_mask(grids_s):
-                    return grid_sample(
-                        patched_flat, grids_s.reshape(F * B, H, W, 2),
-                        mode="nearest", padding_mode="zeros",
-                        align_corners=True, impl=self.warp_impl,
-                        band=self.warp_band)
-
-                warped = jax.lax.map(warp_mask, grids)
+                warped = grid_sample(
+                    patched_flat, grids.reshape(S * F * B, H, W, 2),
+                    mode="nearest", padding_mode="zeros",
+                    align_corners=True, impl=self.warp_impl,
+                    band=self.warp_band)
                 overlap = (warped.reshape(S, F, B, H, W) == 1.0)
 
         return preds, overlap, depths_full

@@ -208,21 +208,23 @@ def _bwd_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L, packed):
     return wa.reshape(band, C, L).sum(0), wb.reshape(band, C, L).sum(0)
 
 
-def _band_dma(ymin_ref, img_ref, scr, sems, slot, n, h, g, G):
+def _band_dma(ymin_ref, img_ref, scr, sems, slot, n, h, g, G, NI):
     """The band-row DMA for output row ``g`` of block (n, h): copies the
     [T, KL, L] channel-major row band starting at scalar-prefetched sublane
     row ``ymin_rows[n, h*G+g]`` from the HBM-resident tiled image
-    [B, T, H'*C, L] into scratch slot ``(slot, g)``."""
+    [NI, T, H'*C, L] into scratch slot ``(slot, g)``. The grid batch may be
+    a multiple of the image batch (scale-batched warps share sources):
+    image row = n mod NI."""
     KL = scr.shape[3]
     y = ymin_ref[n, h * G + g]
     return pltpu.make_async_copy(
-        img_ref.at[n, :, pl.ds(y, KL), :],
+        img_ref.at[jax.lax.rem(n, NI), :, pl.ds(y, KL), :],
         scr.at[slot, g],
         sems.at[slot, g],
     )
 
 
-def _dma_prologue(ymin_ref, img_ref, scr, sems, *, G):
+def _dma_prologue(ymin_ref, img_ref, scr, sems, *, G, NI):
     """Double-buffered band fetch shared by the fwd/bwd DMA kernels: warm up
     block 0, start block blk+1 into the other slot, return this block's slot
     (whose per-row DMAs the caller waits just before using each row)."""
@@ -236,7 +238,7 @@ def _dma_prologue(ymin_ref, img_ref, scr, sems, *, G):
     def start_block(slot_, n_, h_):
         for g in range(G):
             _band_dma(ymin_ref, img_ref, scr, sems, slot_, n_, h_, g,
-                      G).start()
+                      G, NI).start()
 
     @pl.when(blk == 0)
     def _():
@@ -251,13 +253,13 @@ def _dma_prologue(ymin_ref, img_ref, scr, sems, *, G):
 
 
 def _kernel_dma(ymin_ref, ipack_ref, fpack_ref, img_ref, out_ref, scr, sems,
-                *, G, T, band, C, L, packed):
+                *, G, T, band, C, L, packed, NI):
     """Forward kernel with the band row-gather fused in as double-buffered
     DMA from the HBM image (no [B, Ho, band*C, W] materialization in HBM).
     Blocks as :func:`_kernel` except the band comes from ``scr``."""
-    slot, n, h = _dma_prologue(ymin_ref, img_ref, scr, sems, G=G)
+    slot, n, h = _dma_prologue(ymin_ref, img_ref, scr, sems, G=G, NI=NI)
     for g in range(G):
-        _band_dma(ymin_ref, img_ref, scr, sems, slot, n, h, g, G).wait()
+        _band_dma(ymin_ref, img_ref, scr, sems, slot, n, h, g, G, NI).wait()
         for u in range(T):
             out_ref[0, g, u] = _fwd_tile(
                 ipack_ref, fpack_ref, lambda t: scr[slot, g, t], g, u,
@@ -265,11 +267,11 @@ def _kernel_dma(ymin_ref, ipack_ref, fpack_ref, img_ref, out_ref, scr, sems,
 
 
 def _kernel_dma_bwd(ymin_ref, ipack_ref, fpack_ref, gcot_ref, img_ref,
-                    out_ref, scr, sems, *, G, T, band, C, L, packed):
+                    out_ref, scr, sems, *, G, T, band, C, L, packed, NI):
     """Backward kernel with the fused band DMA (see :func:`_kernel_bwd`)."""
-    slot, n, h = _dma_prologue(ymin_ref, img_ref, scr, sems, G=G)
+    slot, n, h = _dma_prologue(ymin_ref, img_ref, scr, sems, G=G, NI=NI)
     for g in range(G):
-        _band_dma(ymin_ref, img_ref, scr, sems, slot, n, h, g, G).wait()
+        _band_dma(ymin_ref, img_ref, scr, sems, slot, n, h, g, G, NI).wait()
         for u in range(T):
             va, vb = _bwd_tile(ipack_ref, fpack_ref,
                                lambda t: scr[slot, g, t], g, u,
@@ -302,8 +304,9 @@ def warp_rows_pallas_dma(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
     fpack as :func:`warp_rows_pallas`. Saves the [B, Ho, band*C, W] HBM
     materialize + re-read of the XLA-side gather (~280 MB of traffic per pass
     at the KITTI recipe)."""
-    B, T, HC, L = img_tiled.shape
-    Ho = ymin_rows.shape[1]
+    NI, T, HC, L = img_tiled.shape
+    B, Ho = ymin_rows.shape
+    assert B % NI == 0, (B, NI)
     KL = band * C
     while Ho % group != 0:
         group //= 2
@@ -313,7 +316,7 @@ def warp_rows_pallas_dma(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
     fpack_tiled = _tile_w(fpack.astype(img_tiled.dtype), T, L)
 
     kernel = functools.partial(_kernel_dma, G=G, T=T, band=band, C=C, L=L,
-                               packed=packed)
+                               packed=packed, NI=NI)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Ho // G),
@@ -345,8 +348,9 @@ def warp_rows_pallas_dma_bwd(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
                              gcot_cw: jnp.ndarray, band: int, C: int,
                              group: int = 8, packed: bool = False):
     """Fused-DMA variant of :func:`warp_rows_pallas_bwd`."""
-    B, T, HC, L = img_tiled.shape
-    Ho = ymin_rows.shape[1]
+    NI, T, HC, L = img_tiled.shape
+    B, Ho = ymin_rows.shape
+    assert B % NI == 0, (B, NI)
     KL = band * C
     while Ho % group != 0:
         group //= 2
@@ -357,7 +361,7 @@ def warp_rows_pallas_dma_bwd(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
     gcot_tiled = _tile_w(gcot_cw.astype(img_tiled.dtype), T, L)
 
     kernel = functools.partial(_kernel_dma_bwd, G=G, T=T, band=band, C=C,
-                               L=L, packed=packed)
+                               L=L, packed=packed, NI=NI)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Ho // G),
@@ -539,6 +543,9 @@ def _use_packed(image, band: int) -> bool:
 
 def _prep_bands(image, iw, band):
     """-> (bands_cw, stored_rows, packed) honoring the bf16 packing path."""
+    Bg = iw["ymin"].shape[0]
+    if image.shape[0] != Bg:       # scale-batched grids: tile sources
+        image = jnp.tile(image, (Bg // image.shape[0], 1, 1, 1))
     if _use_packed(image, band):
         pimg = pack_rows_bf16(image)
         return (gather_bands_cw(pimg, iw["ymin"] // 2, band // 2),

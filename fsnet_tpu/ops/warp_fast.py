@@ -159,7 +159,17 @@ def _use_pallas(image_shape, grid_shape) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     return (grid_shape[2] == image_shape[2]
+            and grid_shape[0] % image_shape[0] == 0
             and pallas_warp_supported(image_shape))
+
+
+def _match_batch(image: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Tile the image batch up to the grid batch (einsum/gather fallbacks;
+    the Pallas kernels index sources modulo the image batch instead)."""
+    if image.shape[0] == n:
+        return image
+    assert n % image.shape[0] == 0, (image.shape, n)
+    return jnp.tile(image, (n // image.shape[0], 1, 1, 1))
 
 
 def _warp_dispatch(image, iw, band, wx0, wx1, wy0, wy1, grid_shape, C, Wo):
@@ -171,6 +181,7 @@ def _warp_dispatch(image, iw, band, wx0, wx1, wy0, wy1, grid_shape, C, Wo):
         # band rows per word, other dtypes are cast (inside the wrapper)
         out = grid_sample_band_pallas(image, iw, band, wx0, wx1, wy0, wy1)
         return out.astype(image.dtype)
+    image = _match_batch(image, grid_shape[0])
     bands_w = _bands_w_of(image, iw, band)
     return _warp_core(bands_w, iw, wx0, wx1, wy0, wy1, band, C, Wo)
 
@@ -221,7 +232,12 @@ def _bwd(mode, padding_mode, align_corners, band, image_grad, residuals, g):
                 dbands.reshape(B, Ho * band, W * C))
         return flat.reshape(B, H, W, C)
 
-    dimage = image_cotangent() if image_grad else jnp.zeros_like(image)
+    if image_grad:
+        assert grid.shape[0] == image.shape[0], (
+            "image_grad unsupported with scale-batched grids")
+        dimage = image_cotangent()
+    else:
+        dimage = jnp.zeros_like(image)
 
     if mode == "nearest":
         return dimage.astype(image.dtype), jnp.zeros_like(grid)
@@ -298,8 +314,8 @@ def grid_sample(image, grid, mode="bilinear", padding_mode="border",
     constant under autodiff) or ``impl='gather'`` (exact reference
     formulation, any warp, full gradients)."""
     if impl == "gather":
-        return grid_sample_exact(image, grid, mode=mode,
-                                 padding_mode=padding_mode,
+        return grid_sample_exact(_match_batch(image, grid.shape[0]), grid,
+                                 mode=mode, padding_mode=padding_mode,
                                  align_corners=align_corners)
     return grid_sample_band(image, grid, mode=mode, padding_mode=padding_mode,
                             align_corners=align_corners, band=band,
