@@ -43,6 +43,23 @@ def reprojection_loss(pred: jnp.ndarray, target: jnp.ndarray,
     return ssim_weight * s + (1.0 - ssim_weight) * l1
 
 
+class PhotometricUncertaintyNet(nn.Module):
+    """Per-pixel photometric uncertainty (positive) from the stacked original
+    + warped frames. The reference's option (``monodepth2_decoder.py:278-290``)
+    consumes a ``photometric_net`` attribute that no shipped config defines
+    (kwargs-injected, dormant); this default is a small conv stack with a
+    softplus head, overridable via ``photometric_net_cfg``."""
+
+    features: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = jax.nn.relu(nn.Conv(self.features, (3, 3), padding="SAME")(x))
+        x = jax.nn.relu(nn.Conv(self.features, (3, 3), padding="SAME")(x))
+        x = nn.Conv(1, (3, 3), padding="SAME")(x)
+        return jax.nn.softplus(x) + 1e-3
+
+
 class MonoDepth2Decoder(nn.Module):
     """Depth head + self-supervised loss. Sub-decoders are built from configs
     through the DI builder, same surface as the reference ``__init__``
@@ -68,6 +85,10 @@ class MonoDepth2Decoder(nn.Module):
     is_residual_flow: bool = False
     is_light_compensate: bool = False
     is_ssim_weight: bool = False
+    # learnable photometric uncertainty (reference monodepth2_decoder.py:278-290)
+    learnable_photometric_uncertain: bool = False
+    photometric_net_cfg: Optional[Dict] = None
+    photometric_net_grad_weight: float = 0.05
     # TPU warp implementation: 'band' (fast, MXU two-hot) or 'gather' (exact
     # reference formulation for arbitrary warps) — see ops/warp_fast.py
     warp_impl: str = "band"
@@ -78,6 +99,11 @@ class MonoDepth2Decoder(nn.Module):
         self.depth_decoder = build(**dict(self.depth_decoder_cfg))
         if self.pose_decoder_cfg is not None:
             self.pose_decoder = build(**dict(self.pose_decoder_cfg))
+        if self.learnable_photometric_uncertain:
+            self.photometric_net = (
+                build(**dict(self.photometric_net_cfg))
+                if self.photometric_net_cfg is not None
+                else PhotometricUncertaintyNet())
 
     # ------------------------------------------------------------- submodules
 
@@ -269,7 +295,20 @@ class MonoDepth2Decoder(nn.Module):
         photo_norm = jnp.sum(patched_mask) + 1e-6
         total_loss = 0.0
         for si, s in enumerate(scales):
-            loss_s = jnp.sum(to_opt[si]) / photo_norm
+            to_opt_s = to_opt[si]
+            if self.learnable_photometric_uncertain:
+                # per-pixel aleatoric weighting: loss/u + log(u), with the
+                # net's gradient damped to photometric_net_grad_weight
+                # (reference monodepth2_decoder.py:278-290)
+                net_in = jnp.concatenate(
+                    [input_dict[("original_image", f)]
+                     for f in self.frame_ids]
+                    + [preds[si, fi] for fi in range(F)], axis=-1)
+                u = self.photometric_net(net_in)[..., 0]        # [B, H, W]
+                gw = self.photometric_net_grad_weight
+                u = gw * u + (1.0 - gw) * jax.lax.stop_gradient(u)
+                to_opt_s = to_opt_s / u + jnp.log(u + 1e-5)
+            loss_s = jnp.sum(to_opt_s) / photo_norm
 
             disp = output_dict[("disp", s)]  # [B, h, w, 1]
             h, w = disp.shape[1], disp.shape[2]

@@ -154,3 +154,30 @@ def test_wpose_loss_decreases_under_sgd():
     loss1 = loss_fn(params2)
     assert np.isfinite(float(loss0)) and np.isfinite(float(loss1))
     assert float(loss1) < float(loss0)
+
+
+def test_wpose_photometric_uncertainty_option():
+    """Learnable photometric uncertainty (reference
+    monodepth2_decoder.py:278-290): loss finite, net params created+trained."""
+    rng = np.random.RandomState(3)
+    cfg = _flagship_cfg()
+    cfg["head_cfg"]["learnable_photometric_uncertain"] = True
+    model = MonoDepthWPose(**cfg)
+    batch = _synthetic_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "loss_noise": jax.random.PRNGKey(1)},
+        batch, {"is_training": True})
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    assert any("photometric_net" in jax.tree_util.keystr(p) for p, _ in flat)
+    out, _ = model.apply(variables, batch, {"is_training": True},
+                         rngs={"loss_noise": jax.random.PRNGKey(2)},
+                         mutable=["batch_stats"])
+    assert np.isfinite(float(out["loss"]))
+    g = jax.grad(lambda v: model.apply(
+        {**variables, "params": v}, batch, {"is_training": True},
+        rngs={"loss_noise": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"])[0]["loss"])(variables["params"])
+    gn = sum(float(jnp.sum(jnp.abs(x)))
+             for p, x in jax.tree_util.tree_leaves_with_path(g)
+             if "photometric_net" in jax.tree_util.keystr(p))
+    assert gn > 0.0
