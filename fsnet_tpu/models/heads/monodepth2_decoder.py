@@ -420,6 +420,14 @@ class MonoDepth2Decoder(nn.Module):
                 losses[f"distilation/{s}"] = jax.lax.stop_gradient(d)
                 total_loss = total_loss + d * self.distillation_loss_weight
 
+        # residualflow_weight hook kept for config parity but dormant:
+        # the reference calls self.compute_residualflow_loss
+        # (monodepth2_decoder.py:336-341) which it never defines, so enabling
+        # it there raises AttributeError — no shipped config sets the weight.
+        assert self.residualflow_weight == 0, (
+            "residual-flow loss is dormant in the reference (undefined "
+            "compute_residualflow_loss); not implemented")
+
         losses["total_loss"] = jax.lax.stop_gradient(total_loss)
         if "depth_gt" in input_dict:
             losses = self.compute_depth_losses(input_dict, output_dict, losses)

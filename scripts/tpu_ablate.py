@@ -34,7 +34,16 @@ SKIP_MID = bool(os.environ.get("FSNET_ABLATE_MODEL_ONLY"))
 
 import fsnet_tpu.ops.warp_fast as wf
 orig_gs = wf.grid_sample
-wf.grid_sample = lambda image, grid, **k: image
+
+
+def _identity_warp(image, grid, **k):
+    # grids may be scale-batched (grid B = k * image B)
+    rep = grid.shape[0] // image.shape[0]
+    out = jnp.broadcast_to(image[None], (rep,) + image.shape)
+    return out.reshape((grid.shape[0],) + image.shape[1:])
+
+
+wf.grid_sample = _identity_warp
 import fsnet_tpu.models.heads.monodepth2_decoder as md
 orig_md_gs = md.grid_sample
 md.grid_sample = wf.grid_sample
