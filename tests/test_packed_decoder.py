@@ -38,6 +38,23 @@ def test_conv3x3_packed_matches_native():
                                    atol=2e-4, rtol=1e-4)
 
 
+def test_conv3x3_packed_multipart_matches_concat():
+    """Multi-part input (unmaterialized channel concat) == conv on the
+    concatenated tensor."""
+    rng = np.random.RandomState(5)
+    a = jnp.asarray(rng.rand(2, 8, 32, 32).astype(np.float32))
+    b = jnp.asarray(rng.rand(2, 8, 32, 64).astype(np.float32))
+    w = jnp.asarray((rng.rand(3, 3, 96, 32) - 0.5).astype(np.float32))
+    bias = jnp.asarray(rng.rand(32).astype(np.float32))
+
+    ref = fc.conv3x3_packed(fc.pack_width(jnp.concatenate([a, b], -1), 1),
+                            w, bias, C=96, pad_mode="replicate")
+    out = fc.conv3x3_packed((fc.pack_width(a, 2), fc.pack_width(b, 1)),
+                            w, bias, C=(32, 64), pad_mode="replicate")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_conv7x7s2_matches_native():
     rng = np.random.RandomState(2)
     for C, H, W in [(3, 32, 64), (6, 16, 32)]:
