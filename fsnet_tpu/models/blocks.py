@@ -231,6 +231,8 @@ class ConvBnReLU(nn.Module):
 
         assert _pair(self.kernel_size) == (3, 3), self.kernel_size
         assert _pair(self.stride) == (1, 1) and self.dilation == 1
+        assert str(self.padding).lower() == "same", self.padding
+        assert self.groups == 1, self.groups
         Co = self.output_features
         C_total = sum(C) if isinstance(C, (tuple, list)) else C
         k, b = _ConvParams(Co, C_total, name="conv")()

@@ -63,15 +63,32 @@ def _replicate_pad_conv(features: int, name: str) -> nn.Module:
 
 def _use_packed_trunk(packed: Optional[bool], input_features) -> bool:
     """Resolve the packed-layout switch: explicit flag wins; ``None`` enables
-    it on TPU backends when the fine-stage widths are lane-packable."""
+    it on TPU backends when the fine-stage widths are lane-packable.
+
+    The gate simulates the trunk loop's actual widths stage by stage (rather
+    than assuming ``input_features[0]`` sits at stride 2): every packed stage
+    (channels <= 64) convolves at pack factor ``P = max(128 // ch, 1)``, so
+    its conv input width and the skip width it concatenates must divide P."""
     if packed is not None:
         return packed
     import jax as _jax
 
     if _jax.default_backend() not in ("tpu", "axon"):
         return False
-    W = input_features[0].shape[2] * 2  # full-res width (stem is at /2)
-    return W % 64 == 0
+    w = input_features[-1].shape[2]
+    for i in range(4, -1, -1):
+        ch = NUM_CH_DEC[i]
+        P = max(128 // ch, 1)
+        if ch <= 64 and w % P != 0:
+            return False          # conv0 input at this stage
+        w *= 2                    # nearest-upsample before conv1 / skip concat
+        if i > 0:
+            skip_w = input_features[i - 1].shape[2]
+            if skip_w != w:
+                return False      # concat widths disagree; keep native path
+            if ch <= 64 and skip_w % P != 0:
+                return False
+    return True
 
 
 class _DecoderTrunk(nn.Module):

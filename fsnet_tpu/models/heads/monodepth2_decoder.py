@@ -29,7 +29,7 @@ from ...ops.geometry import get_smooth_loss, invert_K, make_K44, reproject
 from ...ops.metrics import compute_depth_errors_masked
 from ...ops.ssim import ssim as ssim_fn
 from ...ops.warp import _unnormalize
-from ...ops.warp_fast import grid_sample
+from ...ops.warp_fast import grid_sample, scale_batched_warp_is_fused
 from ...utils.builder import build
 from ..blocks import adaptive_avg_pool2d, interpolate_bilinear
 
@@ -177,14 +177,26 @@ class MonoDepth2Decoder(nn.Module):
         C = sources.shape[-1]
         sources_flat = sources.reshape(F * B, H, W, C)
 
-        # ALL S x F warps in one batched pass: the Pallas kernels index the
-        # F*B source images modulo the image batch, so the sources are not
-        # tiled and no per-scale serialization (lax.map) remains
-        preds = grid_sample(sources_flat,
-                            grids.reshape(S * F * B, H, W, 2),
-                            mode="bilinear", padding_mode="border",
-                            align_corners=True, impl=self.warp_impl,
-                            band=self.warp_band)
+        # ALL S x F warps in one batched pass when the Pallas fused-DMA path
+        # applies: the kernels index the F*B source images modulo the image
+        # batch, so the sources are not tiled and no per-scale serialization
+        # (lax.map) remains. On the non-fused fallbacks (CPU, impl='gather',
+        # FSNET_DMA_GATHER=0, unsupported shapes) the sources WOULD be tiled
+        # S-fold and every scale's band tensors would coexist (~S x peak
+        # memory), so chunk per scale there (round-1 advisor finding).
+        def _photo_warp(src, g):
+            return grid_sample(src, g, mode="bilinear",
+                               padding_mode="border", align_corners=True,
+                               impl=self.warp_impl, band=self.warp_band)
+
+        grids_flat = grids.reshape(S * F * B, H, W, 2)
+        if scale_batched_warp_is_fused(sources_flat.shape, grids_flat.shape,
+                                       self.warp_impl):
+            preds = _photo_warp(sources_flat, grids_flat)
+        else:
+            preds = jax.lax.map(
+                lambda g: _photo_warp(sources_flat,
+                                      g.reshape(F * B, H, W, 2)), grids)
         preds = preds.reshape(S, F, B, H, W, C)
 
         if self.is_light_compensate:
@@ -213,11 +225,21 @@ class MonoDepth2Decoder(nn.Module):
                     patched[None, ..., None].astype(preds.dtype),
                     (F, B, H, W, 1)).reshape(F * B, H, W, 1)
 
-                warped = grid_sample(
-                    patched_flat, grids.reshape(S * F * B, H, W, 2),
-                    mode="nearest", padding_mode="zeros",
-                    align_corners=True, impl=self.warp_impl,
-                    band=self.warp_band)
+                def _mask_warp(src, g):
+                    return grid_sample(src, g, mode="nearest",
+                                       padding_mode="zeros",
+                                       align_corners=True,
+                                       impl=self.warp_impl,
+                                       band=self.warp_band)
+
+                if scale_batched_warp_is_fused(
+                        patched_flat.shape, grids_flat.shape, self.warp_impl):
+                    warped = _mask_warp(patched_flat, grids_flat)
+                else:
+                    warped = jax.lax.map(
+                        lambda g: _mask_warp(patched_flat,
+                                             g.reshape(F * B, H, W, 2)),
+                        grids)
                 overlap = (warped.reshape(S, F, B, H, W) == 1.0)
 
         return preds, overlap, depths_full

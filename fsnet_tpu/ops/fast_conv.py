@@ -134,9 +134,11 @@ def conv3x3_packed(xp, w: jnp.ndarray,
             else jnp.concatenate(wmats, axis=1))
     wcat = jnp.concatenate([wmat[0], wmat[1], wmat[2]], axis=1)  # [K, 3PCo]
 
-    acc_t = jnp.float32 if cols.dtype == jnp.float32 else cols.dtype
+    # Always accumulate the K=(P+2)*C*3 contraction in f32 so the packed path
+    # matches the unpacked nn.Conv (which accumulates f32 on the MXU) under
+    # bf16 activations; the result is cast back to the input dtype below.
     y = jnp.dot(colsp.reshape(-1, K), wcat.astype(cols.dtype),
-                preferred_element_type=acc_t)
+                preferred_element_type=jnp.float32)
     N = P * Co
     y = y.reshape(B, H + 2, NB, 3 * N)
     out = (y[:, 0:H, :, 0:N] + y[:, 1:H + 1, :, N:2 * N]
@@ -185,11 +187,10 @@ def conv7x7s2(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         wmat = wmat.at[:, S * p:S * p + kW, :, p, :].set(w)
     wmat = wmat.reshape(kH * span * C, P * Co)
 
-    acc_t = jnp.float32 if x.dtype == jnp.float32 else x.dtype
     out = jax.lax.dot_general(
         cols, wmat.astype(cols.dtype),
         dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=acc_t)                  # [B, Ho, NB, P*Co]
+        preferred_element_type=jnp.float32)            # f32 accum, as nn.Conv
     return out.astype(x.dtype).reshape(B, Ho, Wo, Co)
 
 

@@ -339,6 +339,12 @@ def warp_rows_pallas_dma(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, Ho, T, C, L), img_tiled.dtype),
         grid_spec=grid_spec,
+        # The 2-slot double-buffering in _dma_prologue is only safe under a
+        # sequentially-executed grid: block N+2 reuses block N's scratch slot.
+        # Pin 'arbitrary' semantics so a future 'parallel'/megacore change
+        # can't silently race the prefetch DMAs against compute.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
     )(ymin_rows.astype(jnp.int32), ipack_tiled, fpack_tiled, img_tiled)
     return jnp.moveaxis(out, 3, 4).reshape(B, Ho, T * L, C)
 
@@ -386,6 +392,9 @@ def warp_rows_pallas_dma_bwd(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, Ho, T, 2, L), img_tiled.dtype),
         grid_spec=grid_spec,
+        # Sequential grid required by the double-buffered scratch (see fwd).
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
     )(ymin_rows.astype(jnp.int32), ipack_tiled, fpack_tiled, gcot_tiled,
       img_tiled)
     out = jnp.moveaxis(out, 2, 3).reshape(B, Ho, 2, T * L)

@@ -163,6 +163,21 @@ def _use_pallas(image_shape, grid_shape) -> bool:
             and pallas_warp_supported(image_shape))
 
 
+def scale_batched_warp_is_fused(image_shape, grid_shape,
+                                impl: str = "band") -> bool:
+    """True when warping a grid batch that is a multiple of the image batch
+    (e.g. S scales x F frames against F*B images) stays O(image batch) in
+    memory: only the Pallas fused-DMA path indexes sources modulo the image
+    batch without tiling them or materializing per-grid band tensors. The
+    einsum/gather fallbacks (CPU, FSNET_DMA_GATHER=0, impl='gather', or
+    unsupported shapes) tile the sources to the grid batch — callers should
+    chunk over the extra factor there (see MonoDepth2Decoder._warp_all)."""
+    from .pallas.warp_kernel import DMA_GATHER
+
+    return (impl == "band" and DMA_GATHER
+            and _use_pallas(image_shape, grid_shape))
+
+
 def _match_batch(image: jnp.ndarray, n: int) -> jnp.ndarray:
     """Tile the image batch up to the grid batch (einsum/gather fallbacks;
     the Pallas kernels index sources modulo the image batch instead)."""

@@ -25,31 +25,41 @@ import optax
 # ---------------------------------------------------------------- LR schedules
 
 def _torch_epoch_schedule(name: Optional[str], base_lr: float, **kw):
-    """Return f(epoch) -> lr replicating torch scheduler semantics."""
+    """Return f(epoch) -> lr replicating torch scheduler semantics.
+
+    Every schedule is closed-form jnp arithmetic, so it evaluates identically
+    on python ints and on traced step counters inside jit — no lookup table,
+    no horizon (iter-based schedules run to arbitrary global steps).
+    """
     if name is None:
-        return lambda e: base_lr
+        return lambda e: jnp.float32(base_lr)
     lname = name.lower()
     if lname == "steplr":
         step_size = kw["step_size"]
         gamma = kw.get("gamma", 0.1)
-        return lambda e: base_lr * (gamma ** (e // step_size))
+        return lambda e: base_lr * jnp.power(
+            jnp.float32(gamma), jnp.asarray(e // step_size, jnp.float32))
     if lname == "multisteplr":
-        milestones = sorted(kw["milestones"])
+        milestones = jnp.asarray(sorted(kw["milestones"]))
         gamma = kw.get("gamma", 0.1)
-        return lambda e: base_lr * (gamma ** sum(1 for m in milestones if e >= m))
+        return lambda e: base_lr * jnp.power(
+            jnp.float32(gamma), jnp.sum(e >= milestones).astype(jnp.float32))
     if lname == "exponentiallr":
         gamma = kw.get("gamma", 1.0)
-        return lambda e: base_lr * (gamma ** e)
+        return lambda e: base_lr * jnp.power(
+            jnp.float32(gamma), jnp.asarray(e, jnp.float32))
     if lname == "cosineannealinglr":
         T_max = kw["T_max"]
         eta_min = kw.get("eta_min", 0.0)
         return lambda e: eta_min + (base_lr - eta_min) * (
-            1 + math.cos(math.pi * e / T_max)) / 2
+            1 + jnp.cos(math.pi * jnp.asarray(e, jnp.float32) / T_max)) / 2
     if lname == "polylr":
         # reference PolyLR (schedulers.py:3-13): decay by remaining fraction
         n_iteration = kw.get("n_iteration", -1)
         gamma = kw.get("gamma", 0.9)
-        return lambda e: base_lr * max(0.0, 1 - e / float(n_iteration)) ** gamma
+        return lambda e: base_lr * jnp.power(
+            jnp.maximum(0.0, 1 - jnp.asarray(e, jnp.float32) / n_iteration),
+            gamma)
     raise NotImplementedError(name)
 
 
@@ -75,32 +85,25 @@ def build_lr_schedule(scheduler_cfg: Optional[Dict], base_lr: float,
                                       **after_cfg)
 
         def epoch_fn(e):
-            if e <= total_epoch:
-                if multiplier == 1.0:
-                    return base_lr * (e / total_epoch)
-                return base_lr * ((multiplier - 1.0) * e / total_epoch + 1.0)
-            return after(e - total_epoch)
+            e_f = jnp.asarray(e, jnp.float32)
+            if multiplier == 1.0:
+                warm = base_lr * (e_f / total_epoch)
+            else:
+                warm = base_lr * ((multiplier - 1.0) * e_f / total_epoch + 1.0)
+            after_lr = after(jnp.maximum(jnp.asarray(e) - total_epoch, 0))
+            return jnp.where(e_f <= total_epoch, warm, after_lr)
     else:
         epoch_fn = _torch_epoch_schedule(name, base_lr, **cfg)
 
+    # Schedules are closed-form jnp arithmetic (no lookup table), so both
+    # python-int and in-graph traced steps evaluate exactly at any horizon.
     if is_iter_based:
         def schedule(step):
-            return _piecewise_from_fn(epoch_fn, step)
+            return epoch_fn(step)
     else:
         def schedule(step):
-            return _piecewise_from_fn(epoch_fn, step // max(steps_per_epoch, 1))
+            return epoch_fn(step // max(steps_per_epoch, 1))
     return schedule, is_iter_based
-
-
-def _piecewise_from_fn(epoch_fn: Callable, e):
-    """Evaluate a python-side epoch schedule on a traced integer by building a
-    lookup over a generous horizon (schedules are cheap step functions)."""
-    if isinstance(e, (int, float)):
-        return epoch_fn(int(e))
-    HORIZON = 4096
-    table = jnp.asarray([epoch_fn(i) for i in range(HORIZON)], jnp.float32)
-    idx = jnp.clip(e, 0, HORIZON - 1).astype(jnp.int32)
-    return table[idx]
 
 
 # ------------------------------------------------------------------ optimizers

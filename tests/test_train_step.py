@@ -84,6 +84,30 @@ def test_lr_schedules_match_torch_semantics():
     assert abs(float(sched(6)) - 1.0) < 1e-6
 
 
+def test_iter_based_schedule_beyond_4096_steps():
+    # round-1 bug: a 4096-entry lookup table froze iter-based schedules 1.2
+    # epochs into a KITTI run (~3.3k steps/epoch x 20 epochs). Schedules are
+    # now closed-form; assert exact values deep into a realistic horizon,
+    # both eagerly and traced (as optax evaluates them in-graph).
+    sched, iter_based = build_lr_schedule(
+        dict(name="GradualWarmupScheduler", multiplier=1.0, total_epoch=1000,
+             after_scheduler_cfg=dict(name="StepLR", step_size=5000),
+             is_iter_based=True),
+        base_lr=1.0, steps_per_epoch=3300)
+    assert iter_based
+    assert abs(float(sched(500)) - 0.5) < 1e-6          # warmup ramp
+    assert abs(float(sched(10_000)) - 0.1) < 1e-6       # 9000 into StepLR
+    assert abs(float(sched(60_000)) / 1e-11 - 1.0) < 1e-4   # 11 decays
+    traced = jax.jit(lambda s: sched(s))(60_000)
+    assert abs(float(traced) / 1e-11 - 1.0) < 1e-4
+
+    sched, _ = build_lr_schedule(
+        dict(name="PolyLR", n_iteration=66_000, gamma=0.9,
+             is_iter_based=True), base_lr=1.0, steps_per_epoch=3300)
+    assert abs(float(sched(33_000)) - 0.5 ** 0.9) < 1e-6
+    assert float(sched(66_000)) == 0.0
+
+
 def test_frozen_mask():
     model, batch, state = _build()
     cfg = _flagship_cfg()
