@@ -21,7 +21,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from ...ops.warp_fast import grid_sample
+from ...ops.warp_fast import grid_sample, scale_batched_warp_is_fused
 from ..blocks import interpolate_bilinear
 from .monodepth2_decoder import MonoDepth2Decoder
 
@@ -107,13 +107,23 @@ class FishEyeDecoder(MonoDepth2Decoder):
         C = sources.shape[-1]
         sources_flat = sources.reshape(F * B, H, W, C)
 
-        def warp_scale(grids_s):
-            return grid_sample(sources_flat, grids_s.reshape(F * B, H, W, 2),
-                               mode="bilinear", padding_mode="border",
-                               align_corners=True, impl=self.warp_impl,
-                               band=self.warp_band)
+        # all S x F warps in one batched pass on the Pallas fused-DMA path
+        # (kernels index sources modulo the image batch — no S-fold tiling);
+        # chunk per scale on the einsum/gather fallbacks to bound memory,
+        # same dispatch as the pinhole head's _warp_all
+        def warp_photo(src, g):
+            return grid_sample(src, g, mode="bilinear",
+                               padding_mode="border", align_corners=True,
+                               impl=self.warp_impl, band=self.warp_band)
 
-        preds = jax.lax.map(warp_scale, grids)
+        grids_flat = grids.reshape(S * F * B, H, W, 2)
+        if scale_batched_warp_is_fused(sources_flat.shape, grids_flat.shape,
+                                       self.warp_impl):
+            preds = warp_photo(sources_flat, grids_flat)
+        else:
+            preds = jax.lax.map(
+                lambda g: warp_photo(sources_flat,
+                                     g.reshape(F * B, H, W, 2)), grids)
         preds = preds.reshape(S, F, B, H, W, C)
 
         overlap = None
@@ -126,13 +136,19 @@ class FishEyeDecoder(MonoDepth2Decoder):
                 patched[None, ..., None], (F, B, H, W, 1)
             ).reshape(F * B, H, W, 1)
 
-            def warp_mask(grids_s):
+            def warp_mask(src, g):
                 return grid_sample(
-                    patched_flat, grids_s.reshape(F * B, H, W, 2),
-                    mode="nearest", padding_mode="zeros", align_corners=True,
-                    impl=self.warp_impl, band=self.warp_band)
+                    src, g, mode="nearest", padding_mode="zeros",
+                    align_corners=True, impl=self.warp_impl,
+                    band=self.warp_band)
 
-            warped = jax.lax.map(warp_mask, grids)
+            if scale_batched_warp_is_fused(
+                    patched_flat.shape, grids_flat.shape, self.warp_impl):
+                warped = warp_mask(patched_flat, grids_flat)
+            else:
+                warped = jax.lax.map(
+                    lambda g: warp_mask(patched_flat,
+                                        g.reshape(F * B, H, W, 2)), grids)
             overlap = (warped.reshape(S, F, B, H, W) == 1.0)
 
         return preds, overlap, norms_full

@@ -115,11 +115,12 @@ def invert_K(K: jnp.ndarray) -> jnp.ndarray:
     upper-left 3x3 is the pinhole K (fx, fy, cx, cy with possible skew).
 
     Replaces the reference's CPU ``np.linalg.pinv`` host sync
-    (``monodepth2_decoder.py:82-85``) with an in-graph 4x4 solve. Always
-    solved in f32 (linalg has no bf16 kernels and a 4x4 inverse needs the
-    precision anyway); callers downcast as needed.
+    (``monodepth2_decoder.py:82-85``) with an in-graph 4x4 solve. Solved in
+    at least f32 (linalg has no bf16 kernels and a 4x4 inverse needs the
+    precision anyway; f64 inputs stay f64 so the torch-oracle parity tests
+    can compare at full precision); callers downcast as needed.
     """
-    return jnp.linalg.inv(K.astype(jnp.float32))
+    return jnp.linalg.inv(K.astype(jnp.promote_types(K.dtype, jnp.float32)))
 
 
 def make_K44(P: jnp.ndarray) -> jnp.ndarray:
@@ -174,10 +175,11 @@ def reproject(depth: jnp.ndarray, K: jnp.ndarray, inv_K: jnp.ndarray,
     XLA tiles best on the MXU.
     """
     B, H, W, _ = depth.shape
-    # camera-matrix algebra in f32 (jnp.linalg.inv upcasts anyway); only the
-    # per-pixel work runs in the compute dtype
-    P = jnp.matmul(K.astype(jnp.float32), T.astype(jnp.float32))[:, :3, :]
-    A = jnp.matmul(P[:, :, :3], inv_K[:, :3, :3].astype(jnp.float32))
+    # camera-matrix algebra in >= f32 (jnp.linalg.inv upcasts anyway); only
+    # the per-pixel work runs in the compute dtype
+    mat_t = jnp.promote_types(K.dtype, jnp.float32)
+    P = jnp.matmul(K.astype(mat_t), T.astype(mat_t))[:, :3, :]
+    A = jnp.matmul(P[:, :, :3], inv_K[:, :3, :3].astype(mat_t))
     A = A.astype(depth.dtype)
     b = P[:, :, 3].astype(depth.dtype)       # [B, 3] constant term
     grid = pixel_grid(H, W, dtype=depth.dtype)

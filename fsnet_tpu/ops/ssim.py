@@ -20,7 +20,7 @@ _C2 = 0.03 ** 2
 def _pool_matrix(n: int, kernel_size: int, padding: int) -> np.ndarray:
     """[n, n] banded matrix M with out = M @ x == reflect-pad(p) + 1D mean
     pool(k, stride 1) along an axis of size n."""
-    m = np.zeros((n, n), np.float32)
+    m = np.zeros((n, n), np.float64)
     for i in range(n):
         for t in range(kernel_size):
             j = i + t - padding
@@ -29,6 +29,9 @@ def _pool_matrix(n: int, kernel_size: int, padding: int) -> np.ndarray:
             elif j >= n:
                 j = 2 * n - 2 - j
             m[i, j] += 1.0 / kernel_size
+    # built in f64 so the cast at use is correctly rounded for ANY compute
+    # dtype (building in f32 bakes f32-rounded 1/k taps into f64 runs, which
+    # the C2=9e-4 SSIM denominators amplify ~1000x — torch-oracle finding)
     return m
 
 
@@ -41,12 +44,13 @@ def _avg_pool_same(x: jnp.ndarray, kernel_size: int, padding: int) -> jnp.ndarra
     reduce_window lower to much slower VPU loops on TPU, and SSIM is on the
     training hot path."""
     B, H, W, C = x.shape
+    acc_t = jnp.promote_types(x.dtype, jnp.float32)  # f32 accum for bf16,
     mh = jnp.asarray(_pool_matrix(H, kernel_size, padding), x.dtype)
     mw = jnp.asarray(_pool_matrix(W, kernel_size, padding), x.dtype)
     x = jnp.einsum("bhwc,Hh->bHwc", x, mh,
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+                   preferred_element_type=acc_t).astype(x.dtype)
     return jnp.einsum("bhwc,Ww->bhWc", x, mw,
-                      preferred_element_type=jnp.float32).astype(x.dtype)
+                      preferred_element_type=acc_t).astype(x.dtype)
 
 
 def ssim(x: jnp.ndarray, y: jnp.ndarray, kernel_size: int = 3,

@@ -57,9 +57,20 @@ def _literal(value: str):
 
 
 def main(config: str = "configs/config.py", experiment_name: str = "default",
-         world_size: int = 1, local_rank: int = -1, **kwargs):
+         world_size: int = 1, local_rank: int = -1,
+         debug_nans: bool = False, **kwargs):
     import jax
     import numpy as np
+
+    # numeric-debug analogue of the reference's DEBUGGING env gate
+    # (/root/reference/vision_base/utils/timer.py:5-34 gates per-phase CUDA
+    # timing; the jit-functional equivalent of a numeric sanitizer is
+    # jax_debug_nans, which re-runs the faulting op un-jitted and raises at
+    # the first NaN/Inf producer). Enabled by --debug_nans or DEBUGGING=1.
+    if debug_nans or os.environ.get("DEBUGGING", "").lower() in ("1", "true"):
+        jax.config.update("jax_debug_nans", True)
+        print("NaN debugging enabled (jax_debug_nans): training will raise "
+              "at the first op producing NaN/Inf")
 
     # multi-host pods: initialize the jax distributed runtime from the TPU
     # environment (the reference's init_process_group('nccl') analogue,
@@ -159,6 +170,12 @@ def main(config: str = "configs/config.py", experiment_name: str = "default",
                                 frozen_mask=mask)
         state = state.replace(tx=tx, opt_state=tx.init(state.params))
 
+    # pretrained encoders: config pretrained/pretrained_path -> converted
+    # torchvision weights grafted into the fresh state (reference loads
+    # ImageNet weights at build time, vision_base resnet.py:270-284)
+    from fsnet_tpu.runtime.pretrained import graft_pretrained_backbones
+    state, grafted_scopes = graft_pretrained_backbones(state, cfg.meta_arch)
+
     num_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"Number of parameters: {num_params}")
     if writer is not None:
@@ -255,7 +272,11 @@ if __name__ == "__main__":
     parser.add_argument("--experiment_name", default="default")
     parser.add_argument("--world_size", type=int, default=1)
     parser.add_argument("--local_rank", type=int, default=-1)
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="raise at the first op producing NaN/Inf "
+                             "(jax_debug_nans); also enabled by DEBUGGING=1")
     args, unknown = parser.parse_known_args()
     overrides = parse_overrides(unknown)
     main(config=args.config, experiment_name=args.experiment_name,
-         world_size=args.world_size, local_rank=args.local_rank, **overrides)
+         world_size=args.world_size, local_rank=args.local_rank,
+         debug_nans=args.debug_nans, **overrides)

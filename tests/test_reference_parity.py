@@ -1,0 +1,282 @@
+"""Torch-oracle accuracy parity: run the REFERENCE's own loss code
+(``/root/reference/monodepth/networks/models/heads/monodepth2_decoder.py:205-347``,
+torch, CPU) on a fixed synthetic batch and assert the fsnet_tpu loss — exact
+'gather' warp — matches in value and in gradients w.r.t. depth, disp and pose.
+
+This reimplements nothing: the oracle IS the reference. The reference package
+is imported from /root/reference with environment shims only (no behavioral
+patches): ``.cuda()`` as a no-op (CPU-only torch), a pass-through ``numba.jit``
+stub, and a minimal ``easydict`` stub. The identity-automask tie-break noise
+(reference ``monodepth2_decoder.py:258-259``, magnitude 1e-5) is disabled on
+BOTH sides (torch.randn -> zeros, noise_rng=None) so the comparison is
+deterministic.
+
+Two precisions:
+- f64 (both sides, plus a ``Tensor.float`` no-op so the reference's
+  ``.float()`` casts don't force f32): the tight parity statement. Loss
+  agrees to ~1e-9; gradients agree to atol 1e-7 except a handful of pixels
+  per coarse scale where the 4-way reprojection min ties at fp level and
+  the two sides route the subgradient differently (bounded by atol 1e-6).
+- f32 (production dtype): loss to 1e-5; gradients compared in relative-L2
+  per tensor, where the same tie flips dominate (~1e-2).
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "monodepth")),
+    reason="reference checkout not present")
+
+import torch  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+# ---------------------------------------------------------------- ref imports
+
+def _install_stubs():
+    if "numba" not in sys.modules:
+        numba = types.ModuleType("numba")
+        numba.jit = lambda *a, **k: (
+            a[0] if (a and callable(a[0])) else (lambda f: f))
+        sys.modules["numba"] = numba
+    if "easydict" not in sys.modules:
+        easydict = types.ModuleType("easydict")
+
+        class EasyDict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        easydict.EasyDict = EasyDict
+        sys.modules["easydict"] = easydict
+
+
+@pytest.fixture(scope="module")
+def monkeypatch_module():
+    from _pytest.monkeypatch import MonkeyPatch
+
+    mp = MonkeyPatch()
+    yield mp
+    mp.undo()
+
+
+@pytest.fixture(scope="module")
+def ref_decoder_cls(monkeypatch_module):
+    """Import the reference MonoDepth2Decoder with CPU-torch shims active."""
+    _install_stubs()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    # CPU-only torch: .cuda() is a device no-op on both tensors and modules
+    monkeypatch_module.setattr(torch.Tensor, "cuda",
+                               lambda self, *a, **k: self)
+    monkeypatch_module.setattr(torch.nn.Module, "cuda",
+                               lambda self, *a, **k: self)
+    # deterministic automask: zero the 1e-5 tie-break noise (we pass
+    # noise_rng=None on the jax side)
+    monkeypatch_module.setattr(torch, "randn",
+                               lambda *shape, **k: torch.zeros(*shape))
+    from monodepth.networks.models.heads.monodepth2_decoder import (  # noqa
+        MonoDepth2Decoder as RefDecoder,
+    )
+    return RefDecoder
+
+
+# ------------------------------------------------------------ synthetic batch
+
+B, H, W = 2, 96, 320
+SCALES = (0, 1, 2, 3)
+FRAMES = (0, 1, -1)
+
+
+def _smooth_map(rng, b, h, w, lo, hi):
+    """Smooth per-pixel field in [lo, hi] (sinusoid mixture + noise floor)."""
+    ys, xs = np.meshgrid(np.linspace(0, 1, h), np.linspace(0, 1, w),
+                         indexing="ij")
+    out = np.zeros((b, h, w), np.float32)
+    for i in range(b):
+        a, c, d, e = rng.uniform(0.5, 2.0, 4)
+        out[i] = (np.sin(a * 5 * xs + c) + np.cos(d * 4 * ys + e) + 2.2) / 4.4
+    out += rng.uniform(0, 0.05, (b, h, w)).astype(np.float32)
+    return (lo + (hi - lo) * np.clip(out, 0, 1)).astype(np.float32)
+
+
+def _pose(rng):
+    """Small KITTI-like inter-frame motion (rot ~0.3deg, trans ~0.8m)."""
+    from scipy.spatial.transform import Rotation
+
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = Rotation.from_euler(
+        "xyz", rng.uniform(-0.3, 0.3, 3), degrees=True).as_matrix()
+    T[:3, 3] = [rng.uniform(-0.1, 0.1), rng.uniform(-0.05, 0.05),
+                rng.uniform(0.6, 0.9)]
+    return T
+
+
+def _fixed_case(dtype=np.float32):
+    rng = np.random.RandomState(7)
+    c = lambda x: np.asarray(x, dtype)  # noqa: E731
+    images = {f: c(rng.rand(B, H, W, 3).astype(np.float32)) for f in FRAMES}
+    P2 = np.zeros((B, 3, 4), np.float32)
+    P2[:, 0, 0] = 0.58 * W
+    P2[:, 1, 1] = 1.92 * H
+    P2[:, 0, 2] = 0.5 * W
+    P2[:, 1, 2] = 0.5 * H
+    P2[:, 2, 2] = 1.0
+    depths = [c(_smooth_map(rng, B, H >> s, W >> s, 4.0, 45.0)[..., None])
+              for s in SCALES]
+    disps = [c(_smooth_map(rng, B, H >> s, W >> s, 0.05, 0.9)[..., None])
+             for s in SCALES]
+    poses = {f: c(np.stack([_pose(rng) for _ in range(B)]))
+             for f in FRAMES[1:]}
+    return c(P2), images, depths, disps, poses
+
+
+def _ref_loss_and_grads(RefDecoder, overlapped_mask, dtype):
+    P2, images, depths, disps, poses = _fixed_case(dtype)
+    dec = RefDecoder(scales=list(SCALES), height=H, width=W,
+                     frame_ids=list(FRAMES),
+                     depth_decoder_cfg=dict(name="torch.nn.Identity"),
+                     overlapped_mask=overlapped_mask, is_log_image=False)
+    t = lambda x: torch.from_numpy(np.ascontiguousarray(x))  # noqa: E731
+    nchw = lambda x: t(x).permute(0, 3, 1, 2).contiguous()   # noqa: E731
+
+    inputs = {("original_image", f): nchw(images[f]) for f in FRAMES}
+    inputs["P2"] = t(P2.astype(dtype))
+    t_depths = [nchw(d).requires_grad_() for d in depths]
+    t_disps = [nchw(d).requires_grad_() for d in disps]
+    t_poses = {f: t(poses[f]).requires_grad_() for f in FRAMES[1:]}
+    outputs = {}
+    for si, s in enumerate(SCALES):
+        outputs[("depth", s, s)] = t_depths[si]
+        outputs[("disp", s)] = t_disps[si]
+    for f in FRAMES[1:]:
+        outputs[("cam_T_cam", f)] = t_poses[f]
+
+    out = dec.loss(outputs, inputs)
+    out["loss"].backward()
+    scale_losses = {s: float(out["loss_dict"][f"loss/{s}"].detach())
+                    for s in SCALES}
+    return (float(out["loss"].detach()), scale_losses,
+            [d.grad.permute(0, 2, 3, 1).numpy() for d in t_depths],
+            [d.grad.permute(0, 2, 3, 1).numpy() for d in t_disps],
+            {f: t_poses[f].grad.numpy() for f in FRAMES[1:]})
+
+
+def _jax_loss_and_grads(overlapped_mask, dtype):
+    from fsnet_tpu.models.heads.monodepth2_decoder import MonoDepth2Decoder
+
+    P2, images, depths, disps, poses = _fixed_case(dtype)
+    head = MonoDepth2Decoder(
+        scales=SCALES, height=H, width=W, frame_ids=FRAMES,
+        depth_decoder_cfg=dict(
+            name="fsnet_tpu.models.heads.depth_decoder.MultiChannelDepthDecoder",
+            num_output_channels=4, scales=SCALES,
+            min_depth=0.5, max_depth=100.0),
+        overlapped_mask=overlapped_mask, is_log_image=False,
+        warp_impl="gather")
+
+    input_dict = {("original_image", f): jnp.asarray(images[f])
+                  for f in FRAMES}
+    input_dict["P2"] = jnp.asarray(P2.astype(dtype))
+
+    def loss_fn(t_depths, t_disps, t_poses):
+        output_dict = {}
+        for si, s in enumerate(SCALES):
+            output_dict[("depth", s, s)] = t_depths[si]
+            output_dict[("disp", s)] = t_disps[si]
+        for f in FRAMES[1:]:
+            output_dict[("cam_T_cam", f)] = t_poses[f]
+        out = head.apply({}, output_dict, dict(input_dict),
+                         method=head.loss, noise_rng=None)
+        return out["loss"], out["loss_dict"]
+
+    j_depths = [jnp.asarray(d) for d in depths]
+    j_disps = [jnp.asarray(d) for d in disps]
+    j_poses = {f: jnp.asarray(poses[f]) for f in FRAMES[1:]}
+    (loss, loss_dict), grads = jax.jit(
+        jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
+    )(j_depths, j_disps, j_poses)
+    scale_losses = {s: float(loss_dict[f"loss/{s}"]) for s in SCALES}
+    return (float(loss), scale_losses,
+            [np.asarray(g) for g in grads[0]],
+            [np.asarray(g) for g in grads[1]],
+            {f: np.asarray(grads[2][f]) for f in FRAMES[1:]})
+
+
+def _rel_l2(a, b):
+    denom = np.linalg.norm(b.ravel()) + 1e-12
+    return np.linalg.norm((a - b).ravel()) / denom
+
+
+# ----------------------------------------------------------------------- f64
+
+@pytest.mark.parametrize("overlapped_mask", [True, False])
+def test_f64_loss_and_grads_match_reference(ref_decoder_cls, monkeypatch,
+                                            overlapped_mask):
+    """The tight parity statement: identical math at f64."""
+    # reference hard-casts inv_K/K through .float() (f32) inside
+    # _generate_images_pred; no-op it so the oracle itself runs f64
+    monkeypatch.setattr(torch.Tensor, "float", lambda self, *a, **k: self)
+    prev_torch = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        jax.config.update("jax_enable_x64", True)
+        ref_loss, ref_scale, ref_gd, ref_gdisp, ref_gpose = \
+            _ref_loss_and_grads(ref_decoder_cls, overlapped_mask, np.float64)
+        j_loss, j_scale, j_gd, j_gdisp, j_gpose = \
+            _jax_loss_and_grads(overlapped_mask, np.float64)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+        torch.set_default_dtype(prev_torch)
+
+    assert abs(j_loss - ref_loss) < 1e-8, (j_loss, ref_loss)
+    for s in SCALES:
+        assert abs(j_scale[s] - ref_scale[s]) < 1e-8, (s, j_scale, ref_scale)
+
+    # atol 1e-6 bounds the handful of pixels per coarse scale where the 4-way
+    # reprojection min ties at fp level and the subgradient routes differently
+    # (measured: <= 10 pixels, <= 5e-8); everything else agrees ~1e-12
+    for si in range(len(SCALES)):
+        np.testing.assert_allclose(j_gd[si], ref_gd[si],
+                                   atol=1e-6, rtol=1e-3)
+        np.testing.assert_allclose(j_gdisp[si], ref_gdisp[si],
+                                   atol=1e-10, rtol=1e-6)
+    for f in FRAMES[1:]:
+        np.testing.assert_allclose(j_gpose[f], ref_gpose[f],
+                                   atol=1e-6, rtol=1e-3)
+
+
+# ----------------------------------------------------------------------- f32
+
+@pytest.mark.parametrize("overlapped_mask", [True, False])
+def test_f32_loss_and_grads_match_reference(ref_decoder_cls, overlapped_mask):
+    """Production dtype: loss tight; gradients in relative-L2 where f32
+    min-tie branch flips dominate (a few pixels per tensor)."""
+    ref_loss, ref_scale, ref_gd, ref_gdisp, ref_gpose = \
+        _ref_loss_and_grads(ref_decoder_cls, overlapped_mask, np.float32)
+    j_loss, j_scale, j_gd, j_gdisp, j_gpose = \
+        _jax_loss_and_grads(overlapped_mask, np.float32)
+
+    assert abs(j_loss - ref_loss) < 1e-5 * max(1.0, abs(ref_loss)), \
+        (j_loss, ref_loss)
+    for s in SCALES:
+        assert abs(j_scale[s] - ref_scale[s]) < 2e-5, (s, j_scale, ref_scale)
+
+    for si in range(len(SCALES)):
+        assert _rel_l2(j_gd[si], ref_gd[si]) < 1e-2, si
+        assert _rel_l2(j_gdisp[si], ref_gdisp[si]) < 1e-3, si
+    for f in FRAMES[1:]:
+        assert _rel_l2(j_gpose[f], ref_gpose[f]) < 1e-2, f
