@@ -119,3 +119,62 @@ def load_torch_resnet(path: str, num_input_images: int = 1,
     return convert_resnet_state_dict(load_torch_checkpoint(path),
                                      num_input_images=num_input_images,
                                      prefix=prefix)
+
+
+def convert_depth_decoder_state_dict(state_dict: Dict,
+                                     scales=(0, 1, 2, 3),
+                                     prefix: str = "") -> Tuple[Dict, Dict]:
+    """Reference DepthDecoder/MultiChannelDepthDecoder state dict ->
+    (params, batch_stats) matching ``fsnet_tpu.models.heads.depth_decoder``
+    scope names.
+
+    The reference registers its conv dict as an nn.ModuleList in insertion
+    order (``monodepth/networks/models/heads/depth_encoder.py:46-67``):
+    indices 0..9 are (upconv, i, j) for i = 4..0, j = 0, 1 — each a
+    vision_base ConvBnReLU whose state lives under ``sequence.0`` (conv) and
+    ``sequence.1`` (BN) — and indices 10.. are the plain-Conv2d dispconvs in
+    ``scales`` order.
+    """
+    sd = {k[len(prefix):]: v for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    params: Dict = {"trunk": {}}
+    stats: Dict = {"trunk": {}}
+
+    idx = 0
+    for i in range(4, -1, -1):
+        for j in (0, 1):
+            t = f"decoder.{idx}.sequence"
+            params["trunk"][f"upconv_{i}_{j}"] = {
+                "conv": {"kernel": _conv_kernel(sd[f"{t}.0.weight"]),
+                         "bias": _to_np(sd[f"{t}.0.bias"])},
+                "norm": {"bn": {"scale": _to_np(sd[f"{t}.1.weight"]),
+                                "bias": _to_np(sd[f"{t}.1.bias"])}},
+            }
+            stats["trunk"][f"upconv_{i}_{j}"] = {
+                "norm": {"bn": {"mean": _to_np(sd[f"{t}.1.running_mean"]),
+                                "var": _to_np(sd[f"{t}.1.running_var"])}},
+            }
+            idx += 1
+    for s in scales:
+        t = f"decoder.{idx}"
+        params[f"dispconv_{s}"] = {
+            "conv": {"kernel": _conv_kernel(sd[f"{t}.weight"]),
+                     "bias": _to_np(sd[f"{t}.bias"])}}
+        idx += 1
+    return params, stats
+
+
+def convert_wpose_state_dict(state_dict: Dict,
+                             scales=(0, 1, 2, 3)) -> Tuple[Dict, Dict]:
+    """Full reference MonoDepthWPose state dict (``depth_backbone.*`` ResNet +
+    ``head.depth_decoder.*``) -> (params, batch_stats) trees matching
+    ``fsnet_tpu.models.MonoDepthWPose`` scopes. Used by the torch-oracle
+    full-model parity tests and by checkpoint migration."""
+    bb_params, bb_stats = convert_resnet_state_dict(
+        state_dict, prefix="depth_backbone.")
+    dec_params, dec_stats = convert_depth_decoder_state_dict(
+        state_dict, scales=scales, prefix="head.depth_decoder.")
+    return ({"depth_backbone": bb_params,
+             "head": {"depth_decoder": dec_params}},
+            {"depth_backbone": bb_stats,
+             "head": {"depth_decoder": dec_stats}})

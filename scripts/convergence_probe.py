@@ -1,0 +1,247 @@
+"""Multi-step convergence probe: band-warp vs exact-warp, bf16 vs f32.
+
+Round-1 open questions (VERDICT "what's weak" #3/#4): the band-warp
+approximation was only validated on *smooth* depth, but an untrained
+network's depth is noise for the first epochs; and the bf16 headline rested
+on single-step loss agreement. This probe trains the flagship recipe for N
+steps from an IDENTICAL random init under
+    (a) exact gather warp, f32   (oracle dynamics)
+    (b) band-16 warp, f32        (isolates the band approximation)
+    (c) band-16 warp, bf16       (the production configuration)
+and reports per-step loss divergence plus depth AbsRel against analytic GT.
+
+Data is synthetically *consistent*: each scene is two infinite textured
+planes (ground + wall) with a procedural 3D texture psi(X); frame t's image
+is psi evaluated at the plane intersection of each pixel ray, so the
+photometric loss is genuinely minimizable through the same warp chain the
+reference uses (no occlusion handling — min-reprojection/automask absorb
+that, as on real data). GT depth is analytic, so AbsRel is exact.
+
+Run on TPU:  python scripts/convergence_probe.py --steps 300 --batch 4
+Results are appended to BASELINE.md by hand.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+H, W = 192, 640
+FRAMES = (0, 1, -1)
+
+
+# ------------------------------------------------------------ synthetic scenes
+
+def _texture(X, phases, freqs):
+    """Procedural 3-channel texture over 3D points X [..., 3] -> [..., 3]."""
+    out = []
+    for c in range(3):
+        v = 0.5 * np.ones(X.shape[:-1], np.float32)
+        for (f, p, a) in zip(freqs[c], phases[c],
+                             (0.25, 0.15, 0.08)):
+            v = v + a * np.sin(X @ f + p)
+        out.append(v)
+    return np.clip(np.stack(out, axis=-1), 0.0, 1.0).astype(np.float32)
+
+
+def _plane_depth(n, d, rays):
+    """Depth along each pixel ray for plane n.X = d; inf where behind."""
+    denom = rays @ n
+    depth = np.where(np.abs(denom) > 1e-6, d / np.maximum(denom, 1e-6), np.inf)
+    return np.where(depth > 0.1, depth, np.inf).astype(np.float32)
+
+
+def _scene_frame(K_inv, T0t_inv, planes, phases, freqs):
+    """Render image + depth of the scene seen from camera t.
+
+    ``T0t_inv`` maps camera-t coords back to frame-0 (world) coords; planes
+    are given in frame-0 coords as (n, d) with n.X = d."""
+    uu, vv = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32), indexing="xy")
+    pix = np.stack([uu, vv, np.ones_like(uu)], axis=-1)    # [H, W, 3]
+    rays = pix @ K_inv.T                                    # [H, W, 3]
+
+    R_inv, t_inv = T0t_inv[:3, :3], T0t_inv[:3, 3]
+    depth = np.full((H, W), np.inf, np.float32)
+    for (n0, d0) in planes:
+        # plane in camera-t coords: n0.(R_inv Xt + t_inv) = d0
+        # -> (R_inv^T n0).Xt = d0 - n0.t_inv
+        nt = n0 @ R_inv
+        dt = d0 - n0 @ t_inv
+        depth = np.minimum(depth, _plane_depth(nt.astype(np.float32),
+                                               np.float32(dt), rays))
+    depth = np.clip(depth, 0.5, 80.0)
+    Xt = rays * depth[..., None]                            # camera-t points
+    X0 = Xt @ R_inv.T + t_inv                               # frame-0 coords
+    return _texture(X0, phases, freqs), depth
+
+
+def make_batch(rng, batch):
+    """A consistent 3-frame batch in the framework's dict protocol."""
+    from scipy.spatial.transform import Rotation
+
+    from fsnet_tpu.utils.keys import encode_batch
+
+    K = np.array([[0.58 * W, 0, 0.5 * W], [0, 1.92 * H, 0.5 * H], [0, 0, 1]],
+                 np.float32)
+    K_inv = np.linalg.inv(K)
+
+    images = {f: [] for f in FRAMES}
+    depths0 = []
+    poses = {1: [], -1: []}
+    for _ in range(batch):
+        ground_y = rng.uniform(1.4, 1.8)
+        ground_tilt = rng.uniform(-0.03, 0.03)
+        wall_z = rng.uniform(18.0, 35.0)
+        planes = [
+            (np.array([0.0, 1.0, ground_tilt], np.float32), ground_y),
+            (np.array([0.0, 0.0, 1.0], np.float32), wall_z),
+        ]
+        freqs = [[rng.uniform(0.3, 3.0, 3).astype(np.float32)
+                  for _ in range(3)] for _ in range(3)]
+        phases = [rng.uniform(0, 6.28, 3).astype(np.float32) for _ in range(3)]
+
+        T = {}
+        for f in (1, -1):
+            M = np.eye(4, dtype=np.float32)
+            M[:3, :3] = Rotation.from_euler(
+                "xyz", rng.uniform(-0.3, 0.3, 3), degrees=True).as_matrix()
+            M[:3, 3] = [rng.uniform(-0.05, 0.05), rng.uniform(-0.02, 0.02),
+                        f * rng.uniform(0.55, 0.8)]
+            T[f] = M
+        T[0] = np.eye(4, dtype=np.float32)
+
+        for f in FRAMES:
+            img, dep = _scene_frame(K_inv, np.linalg.inv(T[f]), planes,
+                                    phases, freqs)
+            images[f].append(img)
+            if f == 0:
+                depths0.append(dep)
+        for f in (1, -1):
+            poses[f].append(T[f])
+
+    P2 = np.zeros((batch, 3, 4), np.float32)
+    P2[:, :3, :3] = K
+    data = {"P2": P2}
+    for f in FRAMES:
+        arr = np.stack(images[f])
+        data[("image", f)] = arr
+        data[("original_image", f)] = arr
+    for f in (1, -1):
+        data[("relative_pose", f)] = np.stack(poses[f])
+    return encode_batch(data), np.stack(depths0)
+
+
+# --------------------------------------------------------------------- driver
+
+def flagship(warp_impl):
+    from fsnet_tpu.models import MonoDepthWPose
+
+    return MonoDepthWPose(
+        depth_backbone_cfg=dict(
+            name="fsnet_tpu.models.backbones.resnet.resnet",
+            depth=18, num_stages=4, out_indices=(-1, 0, 1, 2, 3),
+            norm_eval=False, dilations=(1, 1, 1, 1)),
+        head_cfg=dict(
+            name="fsnet_tpu.models.heads.monodepth2_decoder.MonoDepth2Decoder",
+            scales=(0, 1, 2, 3), height=H, width=W,
+            min_depth=0.5, max_depth=100.0, is_log_image=False,
+            overlapped_mask=True, warp_impl=warp_impl,
+            depth_decoder_cfg=dict(
+                name="fsnet_tpu.models.heads.depth_decoder."
+                     "MultiChannelDepthDecoder",
+                num_output_channels=16, use_skips=True, scales=(0, 1, 2, 3),
+                min_depth=0.5, max_depth=100.0)),
+        train_cfg=dict(frame_ids=list(FRAMES)),
+        test_cfg=dict())
+
+
+def abs_rel(pred, gt):
+    ratio = np.median(gt) / max(np.median(pred), 1e-6)
+    pred = np.clip(pred * ratio, 1e-3, 80.0)
+    return float(np.mean(np.abs(pred - gt) / gt))
+
+
+def run(tag, warp_impl, compute_dtype, batches, gts, steps, eval_every):
+    import jax
+    import jax.numpy as jnp
+
+    from fsnet_tpu.runtime.optim import build_optimizer
+    from fsnet_tpu.runtime.state import init_state, make_eval_step, \
+        make_train_step
+
+    model = flagship(warp_impl)
+    tx, _ = build_optimizer(dict(name="adam", lr=1e-4),
+                            dict(name="StepLR", step_size=15),
+                            steps_per_epoch=len(batches), clip_gradients=1.0)
+    state = init_state(model, batches[0], tx, jax.random.PRNGKey(0))
+    dtype = {None: None, "bf16": jnp.bfloat16}[compute_dtype]
+    train_step = make_train_step(donate=False, compute_dtype=dtype)
+    eval_step = make_eval_step()
+    rng = jax.random.PRNGKey(1)
+
+    losses, absrels = [], {}
+    t0 = time.time()
+    for i in range(steps):
+        state, metrics, _ = train_step(state, batches[i % len(batches)], rng)
+        losses.append(float(metrics["loss"]))
+        if i % eval_every == 0 or i == steps - 1:
+            pred = np.asarray(
+                eval_step(state, batches[0])["depth"])[..., 0]
+            absrels[i] = abs_rel(pred, gts[0])
+            print(f"[{tag}] step {i:4d} loss {losses[-1]:.4f} "
+                  f"absrel {absrels[i]:.4f} ({time.time() - t0:.0f}s)",
+                  flush=True)
+    return dict(tag=tag, losses=losses, absrels=absrels)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--n_batches", type=int, default=16)
+    ap.add_argument("--eval_every", type=int, default=25)
+    ap.add_argument("--out", default="/tmp/convergence_probe.json")
+    ap.add_argument("--configs", nargs="+",
+                    default=["gather:f32", "band:f32", "band:bf16"])
+    args = ap.parse_args()
+
+    rng = np.random.RandomState(0)
+    print("generating scenes...", flush=True)
+    batches, gts = [], []
+    for _ in range(args.n_batches):
+        b, g = make_batch(rng, args.batch)
+        batches.append(b)
+        gts.append(g)
+
+    results = []
+    for cfg in args.configs:
+        warp, prec = cfg.split(":")
+        results.append(run(cfg, warp, None if prec == "f32" else prec,
+                           batches, gts, args.steps, args.eval_every))
+
+    with open(args.out, "w") as f:
+        json.dump(results, f)
+
+    ref = results[0]
+    print(f"\n== summary vs {ref['tag']} ==")
+    for r in results[1:]:
+        dl = np.abs(np.asarray(r["losses"]) - np.asarray(ref["losses"]))
+        rl = dl / np.maximum(np.asarray(ref["losses"]), 1e-6)
+        print(f"{r['tag']}: max|dloss| {dl.max():.5f} "
+              f"(rel {rl.max():.4f}), final-loss rel "
+              f"{rl[-1]:.4f}")
+    for r in results:
+        last = sorted(r["absrels"])[-1]
+        print(f"{r['tag']}: absrel first {r['absrels'][0]:.4f} "
+              f"-> final {r['absrels'][last]:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -280,3 +280,128 @@ def test_f32_loss_and_grads_match_reference(ref_decoder_cls, overlapped_mask):
         assert _rel_l2(j_gdisp[si], ref_gdisp[si]) < 1e-3, si
     for f in FRAMES[1:]:
         assert _rel_l2(j_gpose[f], ref_gpose[f]) < 1e-2, f
+
+
+# ------------------------------------------------------- full model (stage B)
+
+def test_full_forward_train_matches_reference(ref_decoder_cls):
+    """End-to-end ``MonoDepthWPose.forward_train`` parity: the REFERENCE's
+    own meta-arch + ResNet-18 + MultiChannelDepthDecoder + loss (torch, CPU)
+    with its randomly-initialized weights CONVERTED into our flax trees
+    (``models/torch_convert.convert_wpose_state_dict``), both run on the
+    same batch. Covers backbone, decoder, bin-softmax depth decode, warps,
+    loss — the whole training forward — plus gradients w.r.t. the stem and
+    disp convs. Reference: ``monodepth2_model.py:85-130``."""
+    from easydict import EasyDict  # the stub installed by _install_stubs
+    from vision_base.utils.builder import build as ref_build
+
+    torch.manual_seed(3)
+    ref_model = ref_build(
+        name="monodepth.networks.models.meta_archs.monodepth2_model."
+             "MonoDepthWPose",
+        depth_backbone_cfg=dict(
+            name="vision_base.networks.models.backbone.resnet.resnet",
+            depth=18, pretrained=False, num_stages=4,
+            out_indices=(-1, 0, 1, 2, 3), norm_eval=False),
+        head_cfg=dict(
+            name="monodepth.networks.models.heads.monodepth2_decoder."
+                 "MonoDepth2Decoder",
+            scales=list(SCALES), height=H, width=W,
+            depth_decoder_cfg=dict(
+                name="monodepth.networks.models.heads.depth_encoder."
+                     "MultiChannelDepthDecoder",
+                num_ch_enc=np.array([64, 64, 128, 256, 512]),
+                scales=list(SCALES), num_output_channels=16,
+                use_skips=True, min_depth=0.5, max_depth=100.0),
+            overlapped_mask=True, is_log_image=False),
+        train_cfg=EasyDict(frame_ids=list(FRAMES)),
+        test_cfg=EasyDict())
+    ref_model.train()
+
+    P2, images, _, _, poses = _fixed_case(np.float32)
+    t = lambda x: torch.from_numpy(np.ascontiguousarray(x))  # noqa: E731
+    nchw = lambda x: t(x).permute(0, 3, 1, 2).contiguous()   # noqa: E731
+    tdata = {}
+    for f in FRAMES:
+        tdata[("image", f)] = nchw(images[f])
+        tdata[("original_image", f)] = nchw(images[f])
+    for f in FRAMES[1:]:
+        tdata[("relative_pose", f)] = t(poses[f])
+    tdata["P2"] = t(P2)
+
+    out_ref = ref_model.forward_train(tdata, {"is_training": True})
+    loss_ref = out_ref["loss"]
+    loss_ref.backward()
+    g_conv1_ref = ref_model.depth_backbone.conv1.weight.grad.numpy()
+    dispconv0 = ref_model.head.depth_decoder.decoder[10]
+    g_disp_ref = dispconv0.weight.grad.numpy()
+
+    # ---- convert weights into our flax model and run the same batch
+    from fsnet_tpu.models import MonoDepthWPose
+    from fsnet_tpu.models.torch_convert import convert_wpose_state_dict
+    from fsnet_tpu.utils.keys import encode_batch
+
+    params_conv, stats_conv = convert_wpose_state_dict(
+        {k: v.detach() for k, v in ref_model.state_dict().items()},
+        scales=SCALES)
+
+    model = MonoDepthWPose(
+        depth_backbone_cfg=dict(
+            name="fsnet_tpu.models.backbones.resnet.resnet",
+            depth=18, num_stages=4, out_indices=(-1, 0, 1, 2, 3),
+            norm_eval=False, dilations=(1, 1, 1, 1)),
+        head_cfg=dict(
+            name="fsnet_tpu.models.heads.monodepth2_decoder.MonoDepth2Decoder",
+            scales=SCALES, height=H, width=W, is_log_image=False,
+            overlapped_mask=True, warp_impl="gather",
+            depth_decoder_cfg=dict(
+                name="fsnet_tpu.models.heads.depth_decoder."
+                     "MultiChannelDepthDecoder",
+                num_output_channels=16, use_skips=True, scales=SCALES,
+                min_depth=0.5, max_depth=100.0)),
+        train_cfg=dict(frame_ids=list(FRAMES)),
+        test_cfg=dict())
+
+    data = {"P2": P2}
+    for f in FRAMES:
+        data[("image", f)] = images[f]
+        data[("original_image", f)] = images[f]
+    for f in FRAMES[1:]:
+        data[("relative_pose", f)] = poses[f]
+    batch = encode_batch(data)
+
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           batch, {"is_training": True})
+
+    # the converted trees must cover the model's params exactly (same leaf
+    # count and shapes) — a partial graft would silently test random weights
+    flat_init = jax.tree.leaves(variables["params"])
+    flat_conv = jax.tree.leaves(params_conv)
+    assert len(flat_init) == len(flat_conv), \
+        (len(flat_init), len(flat_conv))
+    for a, b in zip(flat_init, flat_conv):
+        assert a.shape == b.shape, (a.shape, b.shape)
+    params = jax.tree.unflatten(jax.tree.structure(variables["params"]),
+                                [jnp.asarray(x) for x in flat_conv])
+    stats = jax.tree.unflatten(
+        jax.tree.structure(variables["batch_stats"]),
+        [jnp.asarray(x) for x in jax.tree.leaves(stats_conv)])
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": stats}, batch,
+            {"is_training": True}, mutable=["batch_stats"])
+        return out["loss"]
+
+    loss_jax, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+
+    assert abs(float(loss_jax) - float(loss_ref)) < 2e-4 * max(
+        1.0, abs(float(loss_ref))), (float(loss_jax), float(loss_ref))
+
+    g_conv1 = np.asarray(
+        grads["depth_backbone"]["conv1"]["kernel"]).transpose(3, 2, 0, 1)
+    g_disp = np.asarray(
+        grads["head"]["depth_decoder"]["dispconv_0"]["conv"]["kernel"]
+    ).transpose(3, 2, 0, 1)
+    assert _rel_l2(g_conv1, g_conv1_ref) < 5e-2
+    assert _rel_l2(g_disp, g_disp_ref) < 5e-2
