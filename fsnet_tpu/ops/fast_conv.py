@@ -106,46 +106,212 @@ def conv3x3_packed(xp, w: jnp.ndarray,
     columns) followed by three H-shifted lane-block adds. Flattening to 2D
     matters: a [..., NB, K] @ [K, N] dot lowers with M=NB(~80) batched
     matmuls that starve the 128x128 MXU."""
-    parts = xp if isinstance(xp, (tuple, list)) else [xp]
+    parts = list(xp) if isinstance(xp, (tuple, list)) else [xp]
     Cs = list(C) if isinstance(C, (tuple, list)) else [
         parts[0].shape[-1] if C is None else C]
     assert len(parts) == len(Cs)
     kH, kW, Cw, Co = w.shape
     assert (kH, kW) == (3, 3), (kH, kW)
     assert Cw == sum(Cs), (Cw, Cs)
-    P = max(128 // Co, 1)
+    if PACKED_VJP and bias is not None:
+        return _conv3x3_packed_cvjp(tuple(parts), w, bias, tuple(Cs),
+                                    pad_mode)
+    return _conv3x3_forward(parts, Cs, w, bias, pad_mode)
 
-    cols = [_part_cols(p, c, P, pad_mode) for p, c in zip(parts, Cs)]
+
+def _conv3x3_forward(parts, Cs, w, bias, pad_mode: str) -> jnp.ndarray:
+    Co = w.shape[3]
+    P = max(128 // Co, 1)
+    # The K=(P+2)*C*3 contraction accumulates in f32 (MXU native bf16-mul/
+    # f32-acc mode, matching the unpacked nn.Conv), but the result is cast to
+    # the compute dtype IN the matmul epilogue so the [B, H+2, NB, 3N] plane
+    # tensor is stored at compute width (storing it f32 under bf16 cost
+    # ~+140 MB HBM write+read per conv, a measured ~6% step regression).
+    # Only the final 3-plane shifted add then runs in the compute dtype
+    # (<= 2 ulp vs the unpacked conv's fully-f32-accumulated result).
+    y, _, _ = _conv3x3_packed_planes(parts, Cs, w, pad_mode, hpad=1)
+    B, H2, NB, _ = y.shape
+    H = H2 - 2
+    N = P * Co
+    out = (y[:, 0:H, :, 0:N] + y[:, 1:H + 1, :, N:2 * N]
+           + y[:, 2:H + 2, :, 2 * N:])
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(out.dtype), P)
+    return out
+
+
+def _conv3x3_packed_planes(xp_parts, Cs, w: jnp.ndarray, pad_mode: str,
+                           hpad: int = 1):
+    """Shared core of :func:`conv3x3_packed`: window columns + Toeplitz
+    matmul, returning the UNFOLDED dy-planes ``y [B, H + 2*hpad, NB, 3N]``
+    (plane dy covers source row h + dy - 1). ``hpad=2`` (zero rows) yields
+    the extended output rows -1 and H needed by the replicate-pad VJP."""
+    P = max(128 // w.shape[3], 1)
+    cols = [_part_cols(p, c, P, pad_mode) for p, c in zip(xp_parts, Cs)]
     cols = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=3)
     B, H, NB, K = cols.shape
 
     if pad_mode == "replicate":
+        assert hpad == 1
         colsp = jnp.concatenate([cols[:, :1], cols, cols[:, -1:]], axis=1)
     else:
-        colsp = jnp.pad(cols, ((0, 0), (1, 1), (0, 0), (0, 0)))
+        colsp = jnp.pad(cols, ((0, 0), (hpad, hpad), (0, 0), (0, 0)))
 
     off = 0
     wmats = []
     for c in Cs:
         wmats.append(_toeplitz_wmat(w[:, :, off:off + c, :], P))
         off += c
-    # [3, K, P*Co] with rows grouped (part, j, ci) to match the cols order
     wmat = (wmats[0] if len(wmats) == 1
             else jnp.concatenate(wmats, axis=1))
     wcat = jnp.concatenate([wmat[0], wmat[1], wmat[2]], axis=1)  # [K, 3PCo]
 
-    # Always accumulate the K=(P+2)*C*3 contraction in f32 so the packed path
-    # matches the unpacked nn.Conv (which accumulates f32 on the MXU) under
-    # bf16 activations; the result is cast back to the input dtype below.
     y = jnp.dot(colsp.reshape(-1, K), wcat.astype(cols.dtype),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32).astype(cols.dtype)
+    return y.reshape(B, H + 2 * hpad, NB, 3 * P * w.shape[3]), colsp, wcat
+
+
+def _flip_w(w: jnp.ndarray) -> jnp.ndarray:
+    """[3, 3, C, Co] -> correlation weights for the input cotangent:
+    spatially flipped, channels transposed -> [3, 3, Co, C]."""
+    return jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+
+
+def _edge_col_corr(g_unpacked: jnp.ndarray, w_col: jnp.ndarray,
+                   pad_mode: str) -> jnp.ndarray:
+    """Replicate-pad column correction: contributions of the replicated
+    column (fwd taps dj reading clip(k + dj - 1) = edge) fold into the edge
+    column of dx. ``g_unpacked`` [B, H, 1, Co] is the output cotangent at
+    the edge column, ``w_col`` [3, Co, C] the matching dj weight plane;
+    returns [B, H, 1, C] to ADD into dx's edge column. Row-replicate clip is
+    applied to the 3-tap row correlation itself."""
+    B, H, _, Co = g_unpacked.shape
+    g = g_unpacked[:, :, 0]                                # [B, H, Co]
+    taps = [jnp.einsum("bhc,cd->bhd", g, w_col[dy]) for dy in range(3)]
+    # dx_edge[i] = sum_dy g[h]*w[dy] over h: clip(h+dy-1)=i
+    ext = (jnp.pad(taps[0], ((0, 0), (0, 2), (0, 0)))      # h+(-1) -> rows
+           + jnp.pad(taps[1], ((0, 0), (1, 1), (0, 0)))
+           + jnp.pad(taps[2], ((0, 0), (2, 0), (0, 0))))   # [B, H+2, C]
+    out = ext[:, 1:H + 1]
+    if pad_mode == "replicate":
+        out = out.at[:, 0].add(ext[:, 0]).at[:, H - 1].add(ext[:, H + 1])
+    return out[:, :, None, :]
+
+
+def conv3x3_packed_vjp_bwd(xp_parts, Cs, w, bias, pad_mode, P_ins, g):
+    """Backward of :func:`conv3x3_packed` built from the SAME block-Toeplitz
+    MXU machinery (XLA's autodiff of the forward lowers the cols/halo
+    assembly transposes poorly — this keeps every pass lane-full):
+
+    - d input: packed correlation of ``g`` with flipped/transposed weights
+      (+ extended-row and edge-column folds for replicate padding)
+    - d w: one [K, M] @ [M, 3N] matmul + inverse Toeplitz fold
+    - d bias: phase-folded reduction
+    """
+    kH, kW, Cw, Co = w.shape
+    P = max(128 // Co, 1)
+    B, H, NB_out, PCo = g.shape
+
+    # ---- dw: scatter g into the 3 shifted dy-planes, contract against cols.
+    # Forward folded out[h] = y[h, p0] + y[h+1, p1] + y[h+2, p2], so plane
+    # p_dy's cotangent at padded row r is g[r - dy] (zeros out of range).
+    _, colsp, _ = _conv3x3_packed_planes(xp_parts, Cs, w, pad_mode, hpad=1)
+    K = colsp.shape[-1]
     N = P * Co
-    y = y.reshape(B, H + 2, NB, 3 * N)
-    out = (y[:, 0:H, :, 0:N] + y[:, 1:H + 1, :, N:2 * N]
-           + y[:, 2:H + 2, :, 2 * N:]).astype(cols.dtype)
-    if bias is not None:
-        out = out + jnp.tile(bias.astype(out.dtype), P)
-    return out
+    z = jnp.zeros_like(g[:, :1])
+    d0 = jnp.concatenate([g, z, z], axis=1)                # [B, H+2, NB, N]
+    d1 = jnp.concatenate([z, g, z], axis=1)
+    d2 = jnp.concatenate([z, z, g], axis=1)
+    dyp = jnp.concatenate([d0, d1, d2], axis=-1)           # [B, H+2, NB, 3N]
+
+    dwcat = jnp.dot(colsp.reshape(-1, K).T.astype(jnp.float32),
+                    dyp.reshape(-1, 3 * N).astype(jnp.float32),
+                    preferred_element_type=jnp.float32)    # [K, 3N]
+
+    # invert the Toeplitz embedding per part: wcat rows are ordered
+    # (part | cols order (0..P-1, l, r) x ci), columns (dy, p, co)
+    span = P + kW - 1
+    dw_parts = []
+    row_off = 0
+    for c in Cs:
+        dpart = dwcat[row_off:row_off + span * c].reshape(span, c, 3, P, Co)
+        row_off += span * c
+        # cols order (0..P-1, l, r) -> window order (l, 0..P-1, r)
+        dpart = jnp.concatenate(
+            [dpart[P:P + 1], dpart[0:P], dpart[P + 1:]], axis=0)
+        dpart = jnp.transpose(dpart, (2, 0, 1, 4, 3))      # [dy, span, c, Co, P]
+        dw_c = sum(dpart[:, p:p + kW, :, :, p] for p in range(P))
+        dw_parts.append(dw_c)                              # [3, 3, c, Co]
+    dw = (dw_parts[0] if len(dw_parts) == 1
+          else jnp.concatenate(dw_parts, axis=2)).astype(w.dtype)
+
+    dbias = (jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+             .reshape(P, Co).sum(0).astype(g.dtype)
+             if bias is not None else None)
+
+    # ---- dx: packed correlation of g with flipped weights, extended rows
+    wf = _flip_w(w)                                        # [3, 3, Co, sumC]
+    dxs = []
+    off = 0
+    for c, part, P_in in zip(Cs, xp_parts, P_ins):
+        wf_c = wf[:, :, :, off:off + c]
+        off += c
+        yx, _, _ = _conv3x3_packed_planes([g], [Co], wf_c, "zeros", hpad=2)
+        Px = max(128 // c, 1)
+        Nx = Px * c
+        Hx = H
+        ext = (yx[:, 0:Hx + 2, :, 0:Nx] + yx[:, 1:Hx + 3, :, Nx:2 * Nx]
+               + yx[:, 2:Hx + 4, :, 2 * Nx:])              # rows -1..H
+        dx = ext[:, 1:Hx + 1]
+        if pad_mode == "replicate":
+            dx = dx.at[:, 0].add(ext[:, 0]).at[:, Hx - 1].add(ext[:, Hx + 1])
+            # edge columns: replicated halo contributions (fwd dj = 0 taps
+            # for the left edge, dj = 2 for the right), in unpacked minor
+            # space. _edge_col_corr wants w[dy, dj_edge].T in ORIGINAL dy
+            # order; wf_c[dy', 2 - dj_edge] = w[2 - dy', dj_edge].T, so
+            # reverse the dy axis.
+            gu = unpack_width(g, Co)
+            left = _edge_col_corr(gu[:, :, 0:1], wf_c[::-1, 2], pad_mode)
+            right = _edge_col_corr(gu[:, :, -1:], wf_c[::-1, 0], pad_mode)
+            dxu = unpack_width(dx, c)
+            dxu = dxu.at[:, :, 0:1].add(left.astype(dxu.dtype))
+            dxu = dxu.at[:, :, -1:].add(right.astype(dxu.dtype))
+            dx = pack_width(dxu, Px)
+        dxs.append(repack(dx, c, P_in).astype(part.dtype))
+    return dxs, dw, dbias
+
+
+from functools import partial as _partial  # noqa: E402  (local helper)
+
+import os as _os
+
+#: A/B toggle for the hand-written packed-conv VJP. Default OFF: the
+#: in-process A/B harness (scripts/tpu_ab_bench.py) measured it at 88.0 vs
+#: 79.4 ms/step — XLA's autodiff of the forward beats this hand-written
+#: backward on v5e. Kept (exact, tested in tests/test_packed_decoder.py)
+#: for future re-evaluation on other topologies.
+PACKED_VJP = _os.environ.get("FSNET_PACKED_VJP", "0") == "1"
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv3x3_packed_cvjp(parts, w, bias, Cs, pad_mode):
+    return _conv3x3_forward(list(parts), list(Cs), w, bias, pad_mode)
+
+
+def _cvjp_fwd(parts, w, bias, Cs, pad_mode):
+    out = _conv3x3_forward(list(parts), list(Cs), w, bias, pad_mode)
+    return out, (parts, w)
+
+
+def _cvjp_bwd(Cs, pad_mode, res, g):
+    parts, w = res
+    P_ins = [p.shape[-1] // c for p, c in zip(parts, Cs)]
+    dxs, dw, dbias = conv3x3_packed_vjp_bwd(
+        list(parts), list(Cs), w, True, pad_mode, P_ins, g)
+    return tuple(dxs), dw, dbias
+
+
+_conv3x3_packed_cvjp.defvjp(_cvjp_fwd, _cvjp_bwd)
 
 
 def conv7x7s2(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:

@@ -18,9 +18,15 @@ offsets crash the compiler, but leading-dim pre-tiled operands compile and run
 — hence the [T, KL, 128] layouts.
 
 Requires Wo == W and W <= 128 or W % 128 == 0 (see
-:func:`pallas_warp_supported`). For W > 384 each output tile consults only
-its 3-tile source window (horizontal displacement clamped to >= +-128 px,
-see :func:`_make_ipack`) — symmetric to the vertical ``band`` restriction.
+:func:`pallas_warp_supported`). For W > 384 each output tile consults a
+3-tile source window anchored DYNAMICALLY per (row, tile) from the data
+(:func:`_make_ipack`): exact whenever the tile's samples span <= 3 aligned
+source tiles — any displacement magnitude (unlike the round-1 static
+[u-1, u+2) window, which clamped displacements beyond ~+-128 px), clamped
+otherwise — symmetric to the vertical ``band`` restriction. A 2-tile window
+was tried and rejected: forward-motion reprojection EXPANDS (span ~1.25x128
+px), which straddles two aligned boundaries at ~20% of tile phases and
+clamped ~2-4%% of pixels on the expanding frame.
 
 Accuracy: this path is *more* accurate than the einsum band warp on TPU —
 interpret-mode agreement with the einsum formulation is ~1e-7, while on
@@ -62,24 +68,28 @@ def pack_rows_bf16(image: jnp.ndarray) -> jnp.ndarray:
 
 _WINDOW = 3  # source tiles consulted per output tile (see _make_ipack)
 
+import os as _os_dynws
+
+#: A/B toggle: dynamic data-dependent window anchor (1) vs round-1 static
+#: [u-1, u+2) anchor (0). Same op count; dynamic follows large displacements.
+DYN_WS = _os_dynws.environ.get("FSNET_DYN_WS", "1") != "0"
+
 
 def _gather_corners(ipack_ref, src_of, g, u, T, KL, L):
     """Shared corner gathers: one single-tile dynamic_gather per
-    (corner, window tile), combined by window-relative select masks. The
-    window start for output tile ``u`` is the same static expression used by
-    :func:`_make_ipack` when it clamped the indices. ``src_of(t)`` yields the
-    [KL, L] channel-major source tile ``t`` (a VMEM block read or a DMA
-    scratch read, depending on the caller)."""
+    (corner, window tile), combined by window-relative select masks.
+    ``src_of(t)`` yields the [KL, L] channel-major source tile at window
+    offset ``t`` (the caller resolves the data-dependent window start from
+    the prefetched ``ws`` array — a VMEM block read or a DMA scratch read)."""
     x0r = jnp.broadcast_to(ipack_ref[0, g, u, 0:1, :], (KL, L))
     x0t = jnp.broadcast_to(ipack_ref[0, g, u, 1:2, :], (KL, L))
     x1r = jnp.broadcast_to(ipack_ref[0, g, u, 2:3, :], (KL, L))
     x1t = jnp.broadcast_to(ipack_ref[0, g, u, 3:4, :], (KL, L))
 
     kw = min(_WINDOW, T)
-    ws = min(max(u - 1, 0), T - kw)
     g0 = g1 = None
     for t in range(kw):
-        src = src_of(ws + t)
+        src = src_of(t)
         gth0 = jnp.take_along_axis(src, x0r, axis=1) * (x0t == t).astype(
             src.dtype)
         gth1 = jnp.take_along_axis(src, x1r, axis=1) * (x1t == t).astype(
@@ -89,27 +99,41 @@ def _gather_corners(ipack_ref, src_of, g, u, T, KL, L):
     return g0, g1
 
 
-def _make_ipack(iw: dict, W: int, L: int) -> jnp.ndarray:
-    """Pack gather indices as (lane0, rel0, lane1, rel1, d0, d1) [B, Ho, 6, W].
+def _make_ipack(iw: dict, W: int, L: int):
+    """Pack gather indices as (lane0, rel0, lane1, rel1, d0, d1) [B, Ho, 6, W]
+    plus the per-(row, output tile) dynamic window start ``ws`` [B, Ho, T].
 
-    ``rel`` is the source tile relative to the output tile's 3-tile window
-    [u-1, u+2) (clamped to the image). Columns are clamped into the window,
-    which bounds the horizontal displacement the kernel resolves to at least
-    +-L px (more, depending on the position inside the tile) — symmetric to
-    the vertical ``band`` restriction, and a no-op when T <= 3. Use the
-    einsum band warp (`impl='band'` off-TPU) for unbounded displacements."""
+    ``rel`` is the source tile relative to the output tile's dynamically
+    anchored 3-tile window [ws, ws+3) — ``ws`` is chosen per (row, tile)
+    from the data so the window covers [min x0, max x1] whenever the tile's
+    samples span <= 3 aligned source tiles (driving-scene reprojections span
+    <= 2: expansion ~1.25 x 128 px + depth-edge spread). Unlike the round-1
+    static [u-1, u+2) anchor this follows arbitrarily large displacements
+    (e.g. strong yaw). Columns are clamped into the window, the same
+    degradation mode as the vertical ``band``."""
     T = W // L
     x0, x1 = iw["x0c"], iw["x1c"]
-    Wo = x0.shape[2]
+    B, Ho, Wo = x0.shape
     kw = min(_WINDOW, T)
-    ox = jnp.arange(Wo, dtype=jnp.int32)
-    ws = jnp.clip(ox // L - 1, 0, T - kw)[None, None, :]
-    lo = ws * L
-    hi = (ws + kw) * L - 1
-    x0w = jnp.clip(x0, lo, hi)
-    x1w = jnp.clip(x1, lo, hi)
-    return jnp.stack([x0w % L, x0w // L - ws, x1w % L, x1w // L - ws,
-                      iw["d0"], iw["d1"]], axis=2)
+    assert Wo == W, (Wo, W)  # pallas path requires Wo == W (_use_pallas)
+    if DYN_WS:
+        # anchor the window at the highest tile any corner touches; when the
+        # span fits (hi - lo <= kw-1) this covers exactly, else low clamps
+        hi = jnp.max(x1.reshape(B, Ho, T, L), axis=3) // L   # [B, Ho, T]
+        ws = jnp.clip(hi - (kw - 1), 0, T - kw).astype(jnp.int32)
+    else:
+        # round-1 static anchor [u-1, u+2): exact only within ~+-L px
+        ws = jnp.broadcast_to(
+            jnp.clip(jnp.arange(T, dtype=jnp.int32) - 1, 0, T - kw),
+            (B, Ho, T))
+    wsx = jnp.broadcast_to(ws[..., None], (B, Ho, T, L)).reshape(B, Ho, W)
+    lo = wsx * L
+    hi_clip = (wsx + kw) * L - 1
+    x0w = jnp.clip(x0, lo, hi_clip)
+    x1w = jnp.clip(x1, lo, hi_clip)
+    ipack = jnp.stack([x0w % L, x0w // L - wsx, x1w % L, x1w // L - wsx,
+                       iw["d0"], iw["d1"]], axis=2)
+    return ipack, ws
 
 
 def _fwd_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L, packed):
@@ -138,36 +162,45 @@ def _fwd_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L, packed):
     return jnp.sum(weighted.reshape(band, C, L), axis=0)
 
 
-def _kernel(ipack_ref, fpack_ref, band_ref, out_ref, *, G, T, band, C, L,
-            packed):
-    """Blocks: ipack [1, G, T, 6, L] int32 (x0r, x0t, x1r, x1t, d0, d1),
+def _kernel(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, *, G, T, band,
+            C, L, packed, Ho):
+    """Blocks: ws (scalar prefetch) [B*Ho*T] int32 window starts (flat:
+    SMEM pads the trailing dim to 128, so 1D keeps it small),
+    ipack [1, G, T, 6, L] int32 (x0r, x0t, x1r, x1t, d0, d1),
     fpack [1, G, T, 4, L] (wx0, wx1, wy0, wy1),
     band [1, G, T, KL, L], out [1, G, T, C, L]. ``band`` counts the rows
     actually stored per channel (already halved when ``packed``); d0/d1 are
     in full-band units either way."""
+    n = pl.program_id(0)
+    h = pl.program_id(1)
     for g in range(G):
         for u in range(T):
+            ws = ws_ref[(n * Ho + h * G + g) * T + u]
             out_ref[0, g, u] = _fwd_tile(
-                ipack_ref, fpack_ref, lambda t: band_ref[0, g, t], g, u,
+                ipack_ref, fpack_ref, lambda t: band_ref[0, g, ws + t], g, u,
                 T=T, band=band, C=C, L=L, packed=packed)
 
 
-def _kernel_bwd(ipack_ref, fpack_ref, band_ref, gcot_ref, out_ref, *,
-                G, T, band, C, L, packed):
+def _kernel_bwd(ws_ref, ipack_ref, fpack_ref, band_ref, gcot_ref, out_ref, *,
+                G, T, band, C, L, packed, Ho):
     """Fused grid-cotangent kernel: both difference passes (d out/d fx and
     d out/d fy) share the corner gathers, and the channel reduction against
     the output cotangent folds in, so the whole backward costs ~one forward.
 
-    Blocks: ipack [1, G, T, 6, L] int32 (x0r, x0t, x1r, x1t, d0, d1),
+    Blocks: ws (scalar prefetch) [B*Ho*T] int32 window starts (flat),
+    ipack [1, G, T, 6, L] int32 (x0r, x0t, x1r, x1t, d0, d1),
     fpack [1, G, T, 8, L] (wxa0, wxa1, wya0, wya1, wxb0, wxb1, wyb0, wyb1)
     where pass a computes d/d fx (difference x-weights) and pass b d/d fy,
     gcot [1, G, T, C, L] channel-major output cotangent,
     out [1, G, T, 2, L] = (gfx, gfy) rows. ``band``/``packed`` as in
     :func:`_kernel`."""
+    n = pl.program_id(0)
+    h = pl.program_id(1)
     for g in range(G):
         for u in range(T):
+            ws = ws_ref[(n * Ho + h * G + g) * T + u]
             va, vb = _bwd_tile(ipack_ref, fpack_ref,
-                               lambda t: band_ref[0, g, t], g, u,
+                               lambda t: band_ref[0, g, ws + t], g, u,
                                T=T, band=band, C=C, L=L, packed=packed)
             gc = gcot_ref[0, g, u]                      # [C, L]
             out_ref[0, g, u, 0:1, :] = jnp.sum(va * gc, axis=0, keepdims=True)
@@ -252,8 +285,8 @@ def _dma_prologue(ymin_ref, img_ref, scr, sems, *, G, NI):
     return slot, n, h
 
 
-def _kernel_dma(ymin_ref, ipack_ref, fpack_ref, img_ref, out_ref, scr, sems,
-                *, G, T, band, C, L, packed, NI):
+def _kernel_dma(ymin_ref, ws_ref, ipack_ref, fpack_ref, img_ref, out_ref,
+                scr, sems, *, G, T, band, C, L, packed, NI, Ho):
     """Forward kernel with the band row-gather fused in as double-buffered
     DMA from the HBM image (no [B, Ho, band*C, W] materialization in HBM).
     Blocks as :func:`_kernel` except the band comes from ``scr``."""
@@ -261,20 +294,23 @@ def _kernel_dma(ymin_ref, ipack_ref, fpack_ref, img_ref, out_ref, scr, sems,
     for g in range(G):
         _band_dma(ymin_ref, img_ref, scr, sems, slot, n, h, g, G, NI).wait()
         for u in range(T):
+            ws = ws_ref[(n * Ho + h * G + g) * T + u]
             out_ref[0, g, u] = _fwd_tile(
-                ipack_ref, fpack_ref, lambda t: scr[slot, g, t], g, u,
+                ipack_ref, fpack_ref, lambda t: scr[slot, g, ws + t], g, u,
                 T=T, band=band, C=C, L=L, packed=packed)
 
 
-def _kernel_dma_bwd(ymin_ref, ipack_ref, fpack_ref, gcot_ref, img_ref,
-                    out_ref, scr, sems, *, G, T, band, C, L, packed, NI):
+def _kernel_dma_bwd(ymin_ref, ws_ref, ipack_ref, fpack_ref, gcot_ref,
+                    img_ref, out_ref, scr, sems, *, G, T, band, C, L,
+                    packed, NI, Ho):
     """Backward kernel with the fused band DMA (see :func:`_kernel_bwd`)."""
     slot, n, h = _dma_prologue(ymin_ref, img_ref, scr, sems, G=G, NI=NI)
     for g in range(G):
         _band_dma(ymin_ref, img_ref, scr, sems, slot, n, h, g, G, NI).wait()
         for u in range(T):
+            ws = ws_ref[(n * Ho + h * G + g) * T + u]
             va, vb = _bwd_tile(ipack_ref, fpack_ref,
-                               lambda t: scr[slot, g, t], g, u,
+                               lambda t: scr[slot, g, ws + t], g, u,
                                T=T, band=band, C=C, L=L, packed=packed)
             gc = gcot_ref[0, g, u]                      # [C, L]
             out_ref[0, g, u, 0:1, :] = jnp.sum(va * gc, axis=0, keepdims=True)
@@ -294,16 +330,17 @@ def _tile_img_rows(image: jnp.ndarray) -> jnp.ndarray:
 
 
 def warp_rows_pallas_dma(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
-                         ipack: jnp.ndarray, fpack: jnp.ndarray, band: int,
+                         ws: jnp.ndarray, ipack: jnp.ndarray,
+                         fpack: jnp.ndarray, band: int,
                          C: int, group: int = 8,
                          packed: bool = False) -> jnp.ndarray:
     """Forward band warp with the row gather fused into the kernel.
 
     ``img_tiled`` [B, T, H'*C, L] (:func:`_tile_img_rows`), ``ymin_rows``
-    [B, Ho] int32 band-start in *sublane-row* units (stored row * C), ipack/
-    fpack as :func:`warp_rows_pallas`. Saves the [B, Ho, band*C, W] HBM
-    materialize + re-read of the XLA-side gather (~280 MB of traffic per pass
-    at the KITTI recipe)."""
+    [B, Ho] int32 band-start in *sublane-row* units (stored row * C), ``ws``
+    [B, Ho, T] int32 window starts, ipack/fpack as :func:`warp_rows_pallas`.
+    Saves the [B, Ho, band*C, W] HBM materialize + re-read of the XLA-side
+    gather (~280 MB of traffic per pass at the KITTI recipe)."""
     NI, T, HC, L = img_tiled.shape
     B, Ho = ymin_rows.shape
     assert B % NI == 0, (B, NI)
@@ -316,9 +353,9 @@ def warp_rows_pallas_dma(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
     fpack_tiled = _tile_w(fpack.astype(img_tiled.dtype), T, L)
 
     kernel = functools.partial(_kernel_dma, G=G, T=T, band=band, C=C, L=L,
-                               packed=packed, NI=NI)
+                               packed=packed, NI=NI, Ho=Ho)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, Ho // G),
         in_specs=[
             pl.BlockSpec((1, G, T, 6, L), lambda n, h, *_: (n, h, 0, 0, 0),
@@ -345,12 +382,14 @@ def warp_rows_pallas_dma(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
         # can't silently race the prefetch DMAs against compute.
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
-    )(ymin_rows.astype(jnp.int32), ipack_tiled, fpack_tiled, img_tiled)
+    )(ymin_rows.astype(jnp.int32), ws.astype(jnp.int32).reshape(-1),
+      ipack_tiled, fpack_tiled, img_tiled)
     return jnp.moveaxis(out, 3, 4).reshape(B, Ho, T * L, C)
 
 
 def warp_rows_pallas_dma_bwd(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
-                             ipack: jnp.ndarray, fpack8: jnp.ndarray,
+                             ws: jnp.ndarray, ipack: jnp.ndarray,
+                             fpack8: jnp.ndarray,
                              gcot_cw: jnp.ndarray, band: int, C: int,
                              group: int = 8, packed: bool = False):
     """Fused-DMA variant of :func:`warp_rows_pallas_bwd`."""
@@ -367,9 +406,9 @@ def warp_rows_pallas_dma_bwd(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
     gcot_tiled = _tile_w(gcot_cw.astype(img_tiled.dtype), T, L)
 
     kernel = functools.partial(_kernel_dma_bwd, G=G, T=T, band=band, C=C,
-                               L=L, packed=packed, NI=NI)
+                               L=L, packed=packed, NI=NI, Ho=Ho)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, Ho // G),
         in_specs=[
             pl.BlockSpec((1, G, T, 6, L), lambda n, h, *_: (n, h, 0, 0, 0),
@@ -395,8 +434,8 @@ def warp_rows_pallas_dma_bwd(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
         # Sequential grid required by the double-buffered scratch (see fwd).
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
-    )(ymin_rows.astype(jnp.int32), ipack_tiled, fpack_tiled, gcot_tiled,
-      img_tiled)
+    )(ymin_rows.astype(jnp.int32), ws.astype(jnp.int32).reshape(-1),
+      ipack_tiled, fpack_tiled, gcot_tiled, img_tiled)
     out = jnp.moveaxis(out, 2, 3).reshape(B, Ho, 2, T * L)
     return out[:, :, 0], out[:, :, 1]
 
@@ -407,13 +446,15 @@ def _tile_w(x: jnp.ndarray, T: int, L: int) -> jnp.ndarray:
     return jnp.moveaxis(x.reshape(B, Ho, K, T, L), 3, 2)
 
 
-def warp_rows_pallas(bands_cw: jnp.ndarray, ipack: jnp.ndarray,
+def warp_rows_pallas(bands_cw: jnp.ndarray, ws: jnp.ndarray,
+                     ipack: jnp.ndarray,
                      fpack: jnp.ndarray, band: int, C: int,
                      group: int = 16, packed: bool = False) -> jnp.ndarray:
-    """``bands_cw`` [B, Ho, band*C, W], ``ipack`` [B, Ho, 6, W] int32
-    (x0r, x0t, x1r, x1t, d0, d1), ``fpack`` [B, Ho, 4, W]
-    (wx0, wx1, wy0, wy1) -> out [B, Ho, W, C] (NHWC rows). ``band`` counts
-    the stored rows (halved vs the logical band when ``packed``)."""
+    """``bands_cw`` [B, Ho, band*C, W], ``ws`` [B, Ho, T] int32 window
+    starts, ``ipack`` [B, Ho, 6, W] int32 (x0r, x0t, x1r, x1t, d0, d1),
+    ``fpack`` [B, Ho, 4, W] (wx0, wx1, wy0, wy1) -> out [B, Ho, W, C]
+    (NHWC rows). ``band`` counts the stored rows (halved vs the logical
+    band when ``packed``)."""
     B, Ho, KL, W = bands_cw.shape
     assert KL == band * C
     L = W if W <= _LANE else _LANE
@@ -428,34 +469,40 @@ def warp_rows_pallas(bands_cw: jnp.ndarray, ipack: jnp.ndarray,
     fpack_tiled = _tile_w(fpack.astype(bands_cw.dtype), T, L)
 
     kernel = functools.partial(_kernel, G=G, T=T, band=band, C=C, L=L,
-                               packed=packed)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, Ho, T, C, L), bands_cw.dtype),
+                               packed=packed, Ho=Ho)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, Ho // G),
         in_specs=[
-            pl.BlockSpec((1, G, T, 6, L), lambda n, h: (n, h, 0, 0, 0),
+            pl.BlockSpec((1, G, T, 6, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, 4, L), lambda n, h: (n, h, 0, 0, 0),
+            pl.BlockSpec((1, G, T, 4, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, KL, L), lambda n, h: (n, h, 0, 0, 0),
+            pl.BlockSpec((1, G, T, KL, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, G, T, C, L),
-                               lambda n, h: (n, h, 0, 0, 0),
+                               lambda n, h, *_: (n, h, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(ipack_tiled, fpack_tiled, band_tiled)
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Ho, T, C, L), bands_cw.dtype),
+        grid_spec=grid_spec,
+    )(ws.astype(jnp.int32).reshape(-1), ipack_tiled, fpack_tiled,
+      band_tiled)
     # [B, Ho, T, C, 128] -> [B, Ho, W, C]
     return jnp.moveaxis(out, 3, 4).reshape(B, Ho, W, C)
 
 
-def warp_rows_pallas_bwd(bands_cw: jnp.ndarray, ipack: jnp.ndarray,
+def warp_rows_pallas_bwd(bands_cw: jnp.ndarray, ws: jnp.ndarray,
+                         ipack: jnp.ndarray,
                          fpack8: jnp.ndarray, gcot_cw: jnp.ndarray,
                          band: int, C: int, group: int = 16,
                          packed: bool = False):
-    """``bands_cw`` [B, Ho, band*C, W], ``ipack`` [B, Ho, 6, W] int32,
-    ``fpack8`` [B, Ho, 8, W], ``gcot_cw`` [B, Ho, C, W] ->
-    (gfx, gfy) each [B, Ho, W]."""
+    """``bands_cw`` [B, Ho, band*C, W], ``ws`` [B, Ho, T] int32,
+    ``ipack`` [B, Ho, 6, W] int32, ``fpack8`` [B, Ho, 8, W],
+    ``gcot_cw`` [B, Ho, C, W] -> (gfx, gfy) each [B, Ho, W]."""
     B, Ho, KL, W = bands_cw.shape
     assert KL == band * C
     L = W if W <= _LANE else _LANE
@@ -471,25 +518,30 @@ def warp_rows_pallas_bwd(bands_cw: jnp.ndarray, ipack: jnp.ndarray,
     gcot_tiled = _tile_w(gcot_cw.astype(bands_cw.dtype), T, L)
 
     kernel = functools.partial(_kernel_bwd, G=G, T=T, band=band, C=C,
-                               L=L, packed=packed)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, Ho, T, 2, L), bands_cw.dtype),
+                               L=L, packed=packed, Ho=Ho)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, Ho // G),
         in_specs=[
-            pl.BlockSpec((1, G, T, 6, L), lambda n, h: (n, h, 0, 0, 0),
+            pl.BlockSpec((1, G, T, 6, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, 8, L), lambda n, h: (n, h, 0, 0, 0),
+            pl.BlockSpec((1, G, T, 8, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, KL, L), lambda n, h: (n, h, 0, 0, 0),
+            pl.BlockSpec((1, G, T, KL, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, C, L), lambda n, h: (n, h, 0, 0, 0),
+            pl.BlockSpec((1, G, T, C, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, G, T, 2, L),
-                               lambda n, h: (n, h, 0, 0, 0),
+                               lambda n, h, *_: (n, h, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-    )(ipack_tiled, fpack_tiled, band_tiled, gcot_tiled)
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Ho, T, 2, L), bands_cw.dtype),
+        grid_spec=grid_spec,
+    )(ws.astype(jnp.int32).reshape(-1), ipack_tiled, fpack_tiled,
+      band_tiled, gcot_tiled)
     # [B, Ho, T, 2, L] -> [B, Ho, 2, W]
     out = jnp.moveaxis(out, 2, 3).reshape(B, Ho, 2, W)
     return out[:, :, 0], out[:, :, 1]
@@ -512,18 +564,18 @@ def grid_sample_band_pallas_bwd(image: jnp.ndarray, iw: dict, band: int,
     B, H, W, C = image.shape
     f32 = jnp.float32
     L = W if W <= _LANE else _LANE
-    ipack = _make_ipack(iw, W, L)
+    ipack, ws = _make_ipack(iw, W, L)
     fpack8 = jnp.stack([wxa0, wxa1, wya0, wya1,
                         wxb0, wxb1, wyb0, wyb1], axis=2).astype(f32)
     gcot_cw = jnp.transpose(gcot, (0, 1, 3, 2)).astype(f32)  # [B, Ho, C, W]
     if DMA_GATHER if dma is None else dma:
         img_tiled, ymin_rows, rows, packed = _prep_img_dma(image, iw, band)
-        return warp_rows_pallas_dma_bwd(img_tiled, ymin_rows, ipack, fpack8,
-                                        gcot_cw, rows, C,
+        return warp_rows_pallas_dma_bwd(img_tiled, ymin_rows, ws, ipack,
+                                        fpack8, gcot_cw, rows, C,
                                         group=min(group, 8), packed=packed)
     bands_cw, rows, packed = _prep_bands(image, iw, band)
-    return warp_rows_pallas_bwd(bands_cw, ipack, fpack8, gcot_cw, rows, C,
-                                group=group, packed=packed)
+    return warp_rows_pallas_bwd(bands_cw, ws, ipack, fpack8, gcot_cw, rows,
+                                C, group=group, packed=packed)
 
 
 def gather_bands_cw(image: jnp.ndarray, ymin: jnp.ndarray,
@@ -582,14 +634,15 @@ def grid_sample_band_pallas(image: jnp.ndarray, iw: dict, band: int,
     and the custom-VJP difference passes). Returns NHWC f32."""
     B, H, W, C = image.shape
     L = W if W <= _LANE else _LANE
-    ipack = _make_ipack(iw, W, L)
+    ipack, ws = _make_ipack(iw, W, L)
     fpack = jnp.stack([wx0, wx1, wy0, wy1], axis=2).astype(jnp.float32)
     if DMA_GATHER if dma is None else dma:
         img_tiled, ymin_rows, rows, packed = _prep_img_dma(image, iw, band)
-        return warp_rows_pallas_dma(img_tiled, ymin_rows, ipack, fpack, rows,
-                                    C, group=min(group, 8), packed=packed)
+        return warp_rows_pallas_dma(img_tiled, ymin_rows, ws, ipack, fpack,
+                                    rows, C, group=min(group, 8),
+                                    packed=packed)
     bands_cw, rows, packed = _prep_bands(image, iw, band)
-    return warp_rows_pallas(bands_cw, ipack, fpack, rows, C, group=group,
+    return warp_rows_pallas(bands_cw, ws, ipack, fpack, rows, C, group=group,
                             packed=packed)
 
 

@@ -209,7 +209,7 @@ def main():
     ap.add_argument("--eval_every", type=int, default=25)
     ap.add_argument("--out", default="/tmp/convergence_probe.json")
     ap.add_argument("--configs", nargs="+",
-                    default=["gather:f32", "band:f32", "band:bf16"])
+                    default=["band:f32", "band:bf16", "gather:f32"])
     args = ap.parse_args()
 
     rng = np.random.RandomState(0)
@@ -223,15 +223,17 @@ def main():
     results = []
     for cfg in args.configs:
         warp, prec = cfg.split(":")
+        print(f"== {cfg}: compiling...", flush=True)
         results.append(run(cfg, warp, None if prec == "f32" else prec,
                            batches, gts, args.steps, args.eval_every))
+        with open(args.out, "w") as f:
+            json.dump(results, f)
 
-    with open(args.out, "w") as f:
-        json.dump(results, f)
-
-    ref = results[0]
+    ref = next((r for r in results if r["tag"] == "gather:f32"), results[0])
     print(f"\n== summary vs {ref['tag']} ==")
-    for r in results[1:]:
+    for r in results:
+        if r is ref:
+            continue
         dl = np.abs(np.asarray(r["losses"]) - np.asarray(ref["losses"]))
         rl = dl / np.maximum(np.asarray(ref["losses"]), 1e-6)
         print(f"{r['tag']}: max|dloss| {dl.max():.5f} "

@@ -113,3 +113,43 @@ def test_packed_decoder_matches_unpacked(train):
             jax.tree_util.tree_leaves_with_path(mp)):
         np.testing.assert_allclose(np.asarray(su), np.asarray(sp),
                                    atol=5e-4, rtol=1e-3, err_msg=str(pu))
+
+
+@pytest.mark.parametrize("pad_mode", ["zeros", "replicate"])
+def test_conv3x3_packed_custom_vjp_matches_autodiff(pad_mode):
+    """The hand-written packed-conv VJP (dx = packed correlation with flipped
+    weights + replicate edge folds, dw = one matmul + inverse Toeplitz fold)
+    must equal XLA autodiff of the forward exactly."""
+    import fsnet_tpu.ops.fast_conv as fc
+
+    rng = np.random.RandomState(11)
+    B, H, W, Cs, Co = 2, 8, 64, (32, 16), 64
+    parts = tuple(
+        jnp.asarray(rng.randn(B, H, W // max(128 // c, 1),
+                              max(128 // c, 1) * c).astype(np.float32))
+        for c in Cs)
+    w = jnp.asarray(rng.randn(3, 3, sum(Cs), Co).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(Co).astype(np.float32) * 0.1)
+    probe = None
+
+    def loss(parts_, w_, b_, use_cvjp):
+        nonlocal probe
+        fc.PACKED_VJP = use_cvjp
+        try:
+            out = fc.conv3x3_packed(parts_, w_, b_, C=Cs, pad_mode=pad_mode)
+        finally:
+            fc.PACKED_VJP = True
+        if probe is None:
+            probe = jnp.cos(jnp.arange(out.size, dtype=jnp.float32)
+                            ).reshape(out.shape)
+        return jnp.sum(out * probe)
+
+    ga = jax.grad(lambda p, w_, b_: loss(p, w_, b_, False),
+                  argnums=(0, 1, 2))(parts, w, b)
+    gc = jax.grad(lambda p, w_, b_: loss(p, w_, b_, True),
+                  argnums=(0, 1, 2))(parts, w, b)
+    for a, c in zip(jax.tree.leaves(ga), jax.tree.leaves(gc)):
+        a, c = np.asarray(a), np.asarray(c)
+        # f32 matmul-ordering noise only: scale atol to the tensor magnitude
+        np.testing.assert_allclose(c, a, rtol=1e-4,
+                                   atol=1e-5 * max(1.0, np.abs(a).max()))
