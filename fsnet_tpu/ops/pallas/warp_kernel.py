@@ -162,6 +162,101 @@ def _fwd_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L, packed):
     return jnp.sum(weighted.reshape(band, C, L), axis=0)
 
 
+def _fused_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L,
+                packed):
+    """Forward AND both difference passes for one output lane tile ->
+    (out, va, vb) each [C, L], sharing one set of corner gathers.
+
+    ``fpack`` rows: (wx0, wx1, wy0, wy1, mx0, mx1, my0, my1) where m* are
+    the zeros-padding corner validity masks (all-ones under border padding).
+    ``va = d out/d fx`` reuses the forward's vertical weights with the
+    difference x-weights (g1*mx1 - g0*mx0); ``vb = d out/d fy`` reuses the
+    forward's horizontal interp with difference y-weights. Emitting these
+    from the forward removes the whole backward gather pass (DMAs included)
+    at ~45% extra VPU work here; the backward becomes an XLA contraction
+    ``gfx = sum_c gcot*va``."""
+    KL = band * C
+    g0, g1 = _gather_corners(ipack_ref, src_of, g, u, T, KL, L)
+
+    wx0 = fpack_ref[0, g, u, 0:1, :]
+    wx1 = fpack_ref[0, g, u, 1:2, :]
+    wy0 = fpack_ref[0, g, u, 2:3, :]
+    wy1 = fpack_ref[0, g, u, 3:4, :]
+    mx0 = fpack_ref[0, g, u, 4:5, :]
+    mx1 = fpack_ref[0, g, u, 5:6, :]
+    my0 = fpack_ref[0, g, u, 6:7, :]
+    my1 = fpack_ref[0, g, u, 7:8, :]
+    d0 = ipack_ref[0, g, u, 4:5, :]
+    d1 = ipack_ref[0, g, u, 5:6, :]
+    dp = jax.lax.broadcasted_iota(jnp.int32, (KL, L), 0) // C
+    if packed:
+        g0h, g0l = _unpack_pair(g0)
+        g1h, g1l = _unpack_pair(g1)
+        dh = dp * 2
+        ish0, ish1 = dh == d0, dh == d1
+        isl0, isl1 = dh + 1 == d0, dh + 1 == d1
+        wv_h = ish0 * wy0 + ish1 * wy1
+        wv_l = isl0 * wy0 + isl1 * wy1
+        wq_h = ish1 * my1 - ish0 * my0
+        wq_l = isl1 * my1 - isl0 * my0
+        a_h = g0h * wx0 + g1h * wx1
+        a_l = g0l * wx0 + g1l * wx1
+        b_h = g1h * mx1 - g0h * mx0
+        b_l = g1l * mx1 - g0l * mx0
+        out = a_h * wv_h + a_l * wv_l
+        va = b_h * wv_h + b_l * wv_l
+        vb = a_h * wq_h + a_l * wq_l
+    else:
+        is0, is1 = dp == d0, dp == d1
+        wv = is0 * wy0 + is1 * wy1
+        wq = is1 * my1 - is0 * my0
+        a = g0 * wx0 + g1 * wx1
+        out = a * wv
+        va = (g1 * mx1 - g0 * mx0) * wv
+        vb = a * wq
+
+    def fold(x):
+        return jnp.sum(x.reshape(band, C, L), axis=0)
+
+    return fold(out), fold(va), fold(vb)
+
+
+def _kernel_fused(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, va_ref,
+                  vb_ref, *, G, T, band, C, L, packed, Ho):
+    """Fused fwd+vjp kernel; three whole-block outputs (out, va, vb) —
+    partial sublane-slice stores at non-vreg-aligned offsets wedge the
+    Mosaic compile, so each result gets its own ref."""
+    n = pl.program_id(0)
+    h = pl.program_id(1)
+    for g in range(G):
+        for u in range(T):
+            ws = ws_ref[(n * Ho + h * G + g) * T + u]
+            o, va, vb = _fused_tile(
+                ipack_ref, fpack_ref, lambda t: band_ref[0, g, ws + t], g, u,
+                T=T, band=band, C=C, L=L, packed=packed)
+            out_ref[0, g, u] = o
+            va_ref[0, g, u] = va
+            vb_ref[0, g, u] = vb
+
+
+def _kernel_dma_fused(ymin_ref, ws_ref, ipack_ref, fpack_ref, img_ref,
+                      out_ref, va_ref, vb_ref, scr, sems, *, G, T, band, C,
+                      L, packed, NI, Ho):
+    """Fused fwd+vjp kernel with the band row-gather as double-buffered DMA
+    (see :func:`_kernel_dma`)."""
+    slot, n, h = _dma_prologue(ymin_ref, img_ref, scr, sems, G=G, NI=NI)
+    for g in range(G):
+        _band_dma(ymin_ref, img_ref, scr, sems, slot, n, h, g, G, NI).wait()
+        for u in range(T):
+            ws = ws_ref[(n * Ho + h * G + g) * T + u]
+            o, va, vb = _fused_tile(
+                ipack_ref, fpack_ref, lambda t: scr[slot, g, ws + t], g, u,
+                T=T, band=band, C=C, L=L, packed=packed)
+            out_ref[0, g, u] = o
+            va_ref[0, g, u] = va
+            vb_ref[0, g, u] = vb
+
+
 def _kernel(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, *, G, T, band,
             C, L, packed, Ho):
     """Blocks: ws (scalar prefetch) [B*Ho*T] int32 window starts (flat:
@@ -345,9 +440,7 @@ def warp_rows_pallas_dma(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
     B, Ho = ymin_rows.shape
     assert B % NI == 0, (B, NI)
     KL = band * C
-    while Ho % group != 0:
-        group //= 2
-    G = max(group, 1)
+    G = _dma_group(group, Ho, T, KL, L, img_tiled.dtype.itemsize)
 
     ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
     fpack_tiled = _tile_w(fpack.astype(img_tiled.dtype), T, L)
@@ -397,9 +490,7 @@ def warp_rows_pallas_dma_bwd(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
     B, Ho = ymin_rows.shape
     assert B % NI == 0, (B, NI)
     KL = band * C
-    while Ho % group != 0:
-        group //= 2
-    G = max(group, 1)
+    G = _dma_group(group, Ho, T, KL, L, img_tiled.dtype.itemsize)
 
     ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
     fpack_tiled = _tile_w(fpack8.astype(img_tiled.dtype), T, L)
@@ -444,6 +535,119 @@ def _tile_w(x: jnp.ndarray, T: int, L: int) -> jnp.ndarray:
     """[B, Ho, K, W] -> [B, Ho, T, K, L] (W split into lane tiles)."""
     B, Ho, K, W = x.shape
     return jnp.moveaxis(x.reshape(B, Ho, K, T, L), 3, 2)
+
+
+def _dma_group(group: int, Ho: int, T: int, KL: int, L: int,
+               itemsize: int) -> int:
+    """Rows per grid block for the DMA kernels: must divide Ho AND keep the
+    double-buffered scratch ``[2, G, T, KL, L]`` within a VMEM budget (the
+    f32 unpacked band at band=16 overflows 16 MB VMEM at G=8 — observed as a
+    wedged Mosaic compile, not an error)."""
+    budget = 8 * 1024 * 1024
+    while group > 1 and (Ho % group != 0
+                         or 2 * group * T * KL * L * itemsize > budget):
+        group //= 2
+    return max(group, 1)
+
+
+def _split_fused_out(outs, C: int):
+    """Three [B, Ho, T, C, L] kernel outputs -> (out, va, vb) NHWC rows."""
+    B, Ho, T, _, L = outs[0].shape
+    return tuple(jnp.moveaxis(o, 3, 4).reshape(B, Ho, T * L, C)
+                 for o in outs)
+
+
+def warp_rows_pallas_fused(bands_cw: jnp.ndarray, ws: jnp.ndarray,
+                           ipack: jnp.ndarray, fpack8: jnp.ndarray,
+                           band: int, C: int, group: int = 16,
+                           packed: bool = False):
+    """Fused fwd+vjp on a materialized band tensor (non-DMA fallback);
+    returns (out, va, vb) each [B, Ho, W, C]."""
+    B, Ho, KL, W = bands_cw.shape
+    assert KL == band * C
+    L = W if W <= _LANE else _LANE
+    T = W // L
+    while Ho % group != 0:
+        group //= 2
+    G = max(group, 1)
+
+    band_tiled = _tile_w(bands_cw, T, L)
+    ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
+    fpack_tiled = _tile_w(fpack8.astype(bands_cw.dtype), T, L)
+
+    kernel = functools.partial(_kernel_fused, G=G, T=T, band=band, C=C, L=L,
+                               packed=packed, Ho=Ho)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Ho // G),
+        in_specs=[
+            pl.BlockSpec((1, G, T, 6, L), lambda n, h, *_: (n, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, 8, L), lambda n, h, *_: (n, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, KL, L), lambda n, h, *_: (n, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, G, T, C, L),
+                                lambda n, h, *_: (n, h, 0, 0, 0),
+                                memory_space=pltpu.VMEM)] * 3,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((B, Ho, T, C, L),
+                                        bands_cw.dtype)] * 3,
+        grid_spec=grid_spec,
+    )(ws.astype(jnp.int32).reshape(-1), ipack_tiled, fpack_tiled, band_tiled)
+    return _split_fused_out(outs, C)
+
+
+def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
+                               ymin_rows: jnp.ndarray, ws: jnp.ndarray,
+                               ipack: jnp.ndarray, fpack8: jnp.ndarray,
+                               band: int, C: int, group: int = 8,
+                               packed: bool = False):
+    """Fused fwd+vjp with the band row-gather as double-buffered DMA;
+    returns (out, va, vb) each [B, Ho, W, C]."""
+    NI, T, HC, L = img_tiled.shape
+    B, Ho = ymin_rows.shape
+    assert B % NI == 0, (B, NI)
+    KL = band * C
+    G = _dma_group(group, Ho, T, KL, L, img_tiled.dtype.itemsize)
+
+    ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
+    fpack_tiled = _tile_w(fpack8.astype(img_tiled.dtype), T, L)
+
+    kernel = functools.partial(_kernel_dma_fused, G=G, T=T, band=band, C=C,
+                               L=L, packed=packed, NI=NI, Ho=Ho)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Ho // G),
+        in_specs=[
+            pl.BlockSpec((1, G, T, 6, L), lambda n, h, *_: (n, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, T, 8, L), lambda n, h, *_: (n, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec((1, G, T, C, L),
+                                lambda n, h, *_: (n, h, 0, 0, 0),
+                                memory_space=pltpu.VMEM)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((2, G, T, KL, L), img_tiled.dtype),
+            pltpu.SemaphoreType.DMA((2, G)),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((B, Ho, T, C, L),
+                                        img_tiled.dtype)] * 3,
+        grid_spec=grid_spec,
+        # Sequential grid required by the double-buffered scratch (see fwd).
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(ymin_rows.astype(jnp.int32), ws.astype(jnp.int32).reshape(-1),
+      ipack_tiled, fpack_tiled, img_tiled)
+    return _split_fused_out(outs, C)
 
 
 def warp_rows_pallas(bands_cw: jnp.ndarray, ws: jnp.ndarray,
@@ -644,6 +848,30 @@ def grid_sample_band_pallas(image: jnp.ndarray, iw: dict, band: int,
     bands_cw, rows, packed = _prep_bands(image, iw, band)
     return warp_rows_pallas(bands_cw, ws, ipack, fpack, rows, C, group=group,
                             packed=packed)
+
+
+def grid_sample_band_pallas_fused(image: jnp.ndarray, iw: dict, band: int,
+                                  wx0, wx1, wy0, wy1, mx0, mx1, my0, my1,
+                                  group: int = 16, dma: bool | None = None):
+    """Fused forward + VJP band warp: ONE kernel pass returning
+    (out, va, vb) NHWC where va = d out/d fx and vb = d out/d fy (the two
+    difference passes the backward kernel would otherwise re-derive with its
+    own gathers and DMAs). ``m*`` are zeros-padding corner validity masks
+    (pass ones for border padding)."""
+    B, H, W, C = image.shape
+    f32 = jnp.float32
+    L = W if W <= _LANE else _LANE
+    ipack, ws = _make_ipack(iw, W, L)
+    fpack8 = jnp.stack([wx0, wx1, wy0, wy1, mx0, mx1, my0, my1],
+                       axis=2).astype(f32)
+    if DMA_GATHER if dma is None else dma:
+        img_tiled, ymin_rows, rows, packed = _prep_img_dma(image, iw, band)
+        return warp_rows_pallas_dma_fused(img_tiled, ymin_rows, ws, ipack,
+                                          fpack8, rows, C,
+                                          group=min(group, 8), packed=packed)
+    bands_cw, rows, packed = _prep_bands(image, iw, band)
+    return warp_rows_pallas_fused(bands_cw, ws, ipack, fpack8, rows, C,
+                                  group=group, packed=packed)
 
 
 def pallas_warp_supported(image_shape) -> bool:

@@ -36,7 +36,16 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+import os as _os
+
 from .warp import _unnormalize, grid_sample as grid_sample_exact
+
+#: Fused fwd+vjp Pallas path (1 = on): the VJP forward rule emits the two
+#: difference-pass values (va, vb) from the SAME kernel pass as the output,
+#: so the backward is one XLA contraction instead of a second gather kernel
+#: (with its own DMAs and index prep). Eval/no-grad calls still run the lean
+#: forward-only kernel (the primal function, not the fwd rule).
+FUSED_VJP = _os.environ.get("FSNET_FUSED_VJP", "1") != "0"
 
 
 def _indices_and_weights(image_shape, grid, mode, padding_mode, align_corners,
@@ -138,9 +147,14 @@ def _warp_core(bands_w, iw, wx0, wx1, wy0, wy1, band, C, Wo):
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _grid_sample_band(image, grid, mode, padding_mode, align_corners, band,
                       image_grad):
-    out, _ = _fwd(image, grid, mode, padding_mode, align_corners, band,
-                  image_grad)
-    return out
+    # Primal (eval / no-grad) path: the lean forward-only kernel. Under
+    # differentiation JAX runs the _fwd rule instead, which may take the
+    # fused fwd+vjp kernel.
+    iw = _indices_and_weights(image.shape, grid, mode, padding_mode,
+                              align_corners, band)
+    return _warp_dispatch(image, iw, band, iw["wx0"], iw["wx1"], iw["wy0"],
+                          iw["wy1"], grid.shape, image.shape[3],
+                          grid.shape[2])
 
 
 def _bands_w_of(image, iw, band):
@@ -201,24 +215,53 @@ def _warp_dispatch(image, iw, band, wx0, wx1, wy0, wy1, grid_shape, C, Wo):
     return _warp_core(bands_w, iw, wx0, wx1, wy0, wy1, band, C, Wo)
 
 
+def _padding_masks(iw, padding_mode, dtype):
+    """Corner validity masks (zeros padding) or all-ones (border)."""
+    one = jnp.ones_like(iw["wx0"], dtype=dtype)
+    if padding_mode == "zeros":
+        return (iw["vx0"].astype(dtype), iw["vx1"].astype(dtype),
+                iw["vy0"].astype(dtype), iw["vy1"].astype(dtype))
+    return one, one, one, one
+
+
 def _fwd(image, grid, mode, padding_mode, align_corners, band,
          image_grad=False):
     B, H, W, C = image.shape
     Wo = grid.shape[2]
     iw = _indices_and_weights(image.shape, grid, mode, padding_mode,
                               align_corners, band)
+    if (FUSED_VJP and mode == "bilinear" and not image_grad
+            and _use_pallas(image.shape, grid.shape)):
+        from .pallas.warp_kernel import grid_sample_band_pallas_fused
+
+        mx0, mx1, my0, my1 = _padding_masks(iw, padding_mode, jnp.float32)
+        out, va, vb = grid_sample_band_pallas_fused(
+            image, iw, band, iw["wx0"], iw["wx1"], iw["wy0"], iw["wy1"],
+            mx0, mx1, my0, my1)
+        return out.astype(image.dtype), (image, grid,
+                                         va.astype(image.dtype),
+                                         vb.astype(image.dtype))
     out = _warp_dispatch(image, iw, band, iw["wx0"], iw["wx1"], iw["wy0"],
                          iw["wy1"], grid.shape, C, Wo)
-    return out, (image, grid)
+    return out, (image, grid, None, None)
 
 
 def _bwd(mode, padding_mode, align_corners, band, image_grad, residuals, g):
     """Grid cotangent via difference-weight contractions. The image cotangent
     is computed (transposed one-hot contractions + band row-scatter) only when
     ``image_grad`` is set; the photometric loss treats images as constants."""
-    image, grid = residuals
+    image, grid, va, vb = residuals
     B, H, W, C = image.shape
     Ho, Wo = grid.shape[1:3]
+
+    if va is not None:
+        # fused path: the forward kernel already emitted both difference
+        # passes; the backward is one elementwise contraction.
+        gfx = jnp.sum(g * va, axis=-1)
+        gfy = jnp.sum(g * vb, axis=-1)
+        return (jnp.zeros_like(image),
+                _chain_to_grid(grid, gfx, gfy, H, W, padding_mode,
+                               align_corners, g.dtype))
 
     iw = _indices_and_weights(image.shape, grid, mode, padding_mode,
                               align_corners, band)
@@ -289,7 +332,15 @@ def _bwd(mode, padding_mode, align_corners, band, image_grad, residuals, g):
         gfy = jnp.sum(g * dVdfy, axis=-1)
 
 
-    # chain to normalized grid coords (+ border-clamp zeroing)
+    return (dimage.astype(image.dtype),
+            _chain_to_grid(grid, gfx, gfy, H, W, padding_mode, align_corners,
+                           dtype))
+
+
+def _chain_to_grid(grid, gfx, gfy, H, W, padding_mode, align_corners, dtype):
+    """Chain pixel-space (gfx, gfy) to normalized grid coords, applying the
+    border-clamp zeroing. Cotangents match the primal grid dtype
+    (mixed-precision: out may be bf16 while grid/image are f32)."""
     if align_corners:
         sx = (W - 1) / 2.0
         sy = (H - 1) / 2.0
@@ -301,10 +352,7 @@ def _bwd(mode, padding_mode, align_corners, band, image_grad, residuals, g):
         y = _unnormalize(grid[..., 1], H, align_corners)
         gfx = jnp.where((x > 0) & (x < W - 1), gfx, 0.0)
         gfy = jnp.where((y > 0) & (y < H - 1), gfy, 0.0)
-    # cotangents must match the primal dtypes (mixed-precision: out may be
-    # bf16 while grid/image are f32)
-    ggrid = jnp.stack([gfx * sx, gfy * sy], axis=-1).astype(grid.dtype)
-    return dimage.astype(image.dtype), ggrid
+    return jnp.stack([gfx * sx, gfy * sy], axis=-1).astype(grid.dtype)
 
 
 _grid_sample_band.defvjp(_fwd, _bwd)

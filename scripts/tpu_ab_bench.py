@@ -50,15 +50,21 @@ def timed(tag):
 
 import fsnet_tpu.ops.fast_conv as fc
 import fsnet_tpu.ops.pallas.warp_kernel as wk
+import fsnet_tpu.ops.warp_fast as wf
 
 VARIANTS = [
-    ("all-on (packed-vjp + dyn-ws)", dict(vjp=True, dynws=True)),
-    ("packed-vjp OFF", dict(vjp=False, dynws=True)),
-    ("dyn-ws OFF (static anchor)", dict(vjp=True, dynws=False)),
-    ("all-on again (drift check)", dict(vjp=True, dynws=True)),
+    ("defaults (fused-vjp + dyn-ws)",
+     dict(vjp=False, dynws=True, fused=True)),
+    ("fused-vjp OFF (two kernel passes)",
+     dict(vjp=False, dynws=True, fused=False)),
+    ("dyn-ws OFF (static anchor)",
+     dict(vjp=False, dynws=False, fused=True)),
+    ("defaults again (drift check)",
+     dict(vjp=False, dynws=True, fused=True)),
 ]
 
 for tag, cfg in VARIANTS:
     fc.PACKED_VJP = cfg["vjp"]
     wk.DYN_WS = cfg["dynws"]
+    wf.FUSED_VJP = cfg["fused"]
     timed(tag)

@@ -144,3 +144,35 @@ def test_pallas_warp_group_fallback():
                                      iw["wy0"], iw["wy1"], group=8)
     ref = grid_sample_band(img, grid, band=BAND)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
+def test_pallas_fused_fwd_vjp_kernel(padding_mode):
+    """The fused fwd+vjp kernel's (out, va, vb) must equal the forward
+    dispatch run three times with the corresponding corner weights (the
+    exact contract the two-pass backward relied on)."""
+    import fsnet_tpu.ops.warp_fast as wf
+
+    N, H, W, C = 2, 16, 256, 3
+    BAND = 8
+    rng = np.random.RandomState(7)
+    img = jnp.asarray(rng.rand(N, H, W, C).astype(np.float32))
+    grid = jnp.asarray((rng.rand(N, H, W, 2) * 1.8 - 0.9).astype(np.float32))
+    iw = _indices_and_weights(img.shape, grid, "bilinear", padding_mode,
+                              True, BAND)
+    mx0, mx1, my0, my1 = wf._padding_masks(iw, padding_mode, jnp.float32)
+
+    out, va, vb = wk.grid_sample_band_pallas_fused(
+        img, iw, BAND, iw["wx0"], iw["wx1"], iw["wy0"], iw["wy1"],
+        mx0, mx1, my0, my1)
+
+    ref_out = wk.grid_sample_band_pallas(img, iw, BAND, iw["wx0"], iw["wx1"],
+                                         iw["wy0"], iw["wy1"])
+    ref_va = wk.grid_sample_band_pallas(img, iw, BAND, -mx0, mx1,
+                                        iw["wy0"], iw["wy1"])
+    ref_vb = wk.grid_sample_band_pallas(img, iw, BAND, iw["wx0"], iw["wx1"],
+                                        -my0, my1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(ref_va), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(ref_vb), atol=1e-6)
