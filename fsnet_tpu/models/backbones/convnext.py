@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -64,7 +65,9 @@ class ConvNeXt(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True):
-        dp_rates = jnp.linspace(0, self.drop_path_rate, sum(self.depths))
+        # numpy (not jnp): these are static per-block hyperparameters — a
+        # traced linspace would break float() under jit (init is jitted).
+        dp_rates = np.linspace(0, self.drop_path_rate, sum(self.depths))
         outputs = []
         cur = 0
         max_step = max(self.out_indices) + 1

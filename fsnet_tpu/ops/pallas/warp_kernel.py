@@ -74,6 +74,17 @@ import os as _os_dynws
 #: [u-1, u+2) anchor (0). Same op count; dynamic follows large displacements.
 DYN_WS = _os_dynws.environ.get("FSNET_DYN_WS", "1") != "0"
 
+#: Fold the window-tile one-hot masks (and zeros-padding corner validity)
+#: into prefetched f32 weight rows computed on the XLA side, instead of
+#: re-deriving them in-kernel with [KL, L] integer compares: the per-tile
+#: compare+convert field disappears and invalid-y corners are routed to an
+#: out-of-range band index (sentinel) so the my* mask multiplies vanish too.
+#: DEFAULT OFF: benched exact but 2.6% SLOWER on the full train step (76.1 ->
+#: 78.1 ms, scripts/tpu_ab_bench.py best-of-4) — Mosaic lowers the in-kernel
+#: compares essentially for free, while the 6 extra broadcast fpack-row reads
+#: per tile cost real issue slots (BASELINE.md negative results).
+FOLD_WIN = _os_dynws.environ.get("FSNET_FOLD_WIN", "0") != "0"
+
 
 def _gather_corners(ipack_ref, src_of, g, u, T, KL, L):
     """Shared corner gathers: one single-tile dynamic_gather per
@@ -94,6 +105,27 @@ def _gather_corners(ipack_ref, src_of, g, u, T, KL, L):
             src.dtype)
         gth1 = jnp.take_along_axis(src, x1r, axis=1) * (x1t == t).astype(
             src.dtype)
+        g0 = gth0 if g0 is None else g0 + gth0
+        g1 = gth1 if g1 is None else g1 + gth1
+    return g0, g1
+
+
+def _gather_corners_fold(ipack_ref, fpack_ref, src_of, g, u, T, KL, L,
+                         frow0: int):
+    """FOLD_WIN corner gathers: the per-(corner, window tile) one-hot masks
+    arrive as prefetched f32 rows ``fpack[frow0 + 3*corner + t]`` (with
+    zeros-padding x-validity folded in), so the in-kernel [KL, L] integer
+    compares of :func:`_gather_corners` disappear."""
+    x0r = jnp.broadcast_to(ipack_ref[0, g, u, 0:1, :], (KL, L))
+    x1r = jnp.broadcast_to(ipack_ref[0, g, u, 2:3, :], (KL, L))
+    kw = min(_WINDOW, T)
+    g0 = g1 = None
+    for t in range(kw):
+        src = src_of(t)
+        gth0 = (jnp.take_along_axis(src, x0r, axis=1)
+                * fpack_ref[0, g, u, frow0 + t:frow0 + t + 1, :])
+        gth1 = (jnp.take_along_axis(src, x1r, axis=1)
+                * fpack_ref[0, g, u, frow0 + 3 + t:frow0 + 4 + t, :])
         g0 = gth0 if g0 is None else g0 + gth0
         g1 = gth1 if g1 is None else g1 + gth1
     return g0, g1
@@ -136,10 +168,15 @@ def _make_ipack(iw: dict, W: int, L: int):
     return ipack, ws
 
 
-def _fwd_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L, packed):
+def _fwd_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L, packed,
+              fold=False):
     """One output lane tile of the forward warp -> [C, L]."""
     KL = band * C
-    g0, g1 = _gather_corners(ipack_ref, src_of, g, u, T, KL, L)
+    if fold:
+        g0, g1 = _gather_corners_fold(ipack_ref, fpack_ref, src_of, g, u, T,
+                                      KL, L, frow0=4)
+    else:
+        g0, g1 = _gather_corners(ipack_ref, src_of, g, u, T, KL, L)
 
     fx0 = fpack_ref[0, g, u, 0:1, :]
     fx1 = fpack_ref[0, g, u, 1:2, :]
@@ -163,7 +200,7 @@ def _fwd_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L, packed):
 
 
 def _fused_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L,
-                packed):
+                packed, fold=False):
     """Forward AND both difference passes for one output lane tile ->
     (out, va, vb) each [C, L], sharing one set of corner gathers.
 
@@ -174,18 +211,29 @@ def _fused_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L,
     forward's horizontal interp with difference y-weights. Emitting these
     from the forward removes the whole backward gather pass (DMAs included)
     at ~45% extra VPU work here; the backward becomes an XLA contraction
-    ``gfx = sum_c gcot*va``."""
+    ``gfx = sum_c gcot*va``.
+
+    Under ``fold`` (:data:`FOLD_WIN`) the fpack rows are instead
+    (wx0, wx1, wy0, wy1, q00, q01, q02, q10, q11, q12): the window one-hots
+    carry the x-validity masks (so ``b = g1 - g0`` directly) and invalid-y
+    corners arrive with an out-of-range ``d`` sentinel (so ``wq`` needs no
+    my* multiplies)."""
     KL = band * C
-    g0, g1 = _gather_corners(ipack_ref, src_of, g, u, T, KL, L)
+    if fold:
+        g0, g1 = _gather_corners_fold(ipack_ref, fpack_ref, src_of, g, u, T,
+                                      KL, L, frow0=4)
+    else:
+        g0, g1 = _gather_corners(ipack_ref, src_of, g, u, T, KL, L)
 
     wx0 = fpack_ref[0, g, u, 0:1, :]
     wx1 = fpack_ref[0, g, u, 1:2, :]
     wy0 = fpack_ref[0, g, u, 2:3, :]
     wy1 = fpack_ref[0, g, u, 3:4, :]
-    mx0 = fpack_ref[0, g, u, 4:5, :]
-    mx1 = fpack_ref[0, g, u, 5:6, :]
-    my0 = fpack_ref[0, g, u, 6:7, :]
-    my1 = fpack_ref[0, g, u, 7:8, :]
+    if not fold:
+        mx0 = fpack_ref[0, g, u, 4:5, :]
+        mx1 = fpack_ref[0, g, u, 5:6, :]
+        my0 = fpack_ref[0, g, u, 6:7, :]
+        my1 = fpack_ref[0, g, u, 7:8, :]
     d0 = ipack_ref[0, g, u, 4:5, :]
     d1 = ipack_ref[0, g, u, 5:6, :]
     dp = jax.lax.broadcasted_iota(jnp.int32, (KL, L), 0) // C
@@ -197,32 +245,42 @@ def _fused_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L,
         isl0, isl1 = dh + 1 == d0, dh + 1 == d1
         wv_h = ish0 * wy0 + ish1 * wy1
         wv_l = isl0 * wy0 + isl1 * wy1
-        wq_h = ish1 * my1 - ish0 * my0
-        wq_l = isl1 * my1 - isl0 * my0
+        if fold:
+            wq_h = ish1.astype(wy0.dtype) - ish0.astype(wy0.dtype)
+            wq_l = isl1.astype(wy0.dtype) - isl0.astype(wy0.dtype)
+            b_h = g1h - g0h
+            b_l = g1l - g0l
+        else:
+            wq_h = ish1 * my1 - ish0 * my0
+            wq_l = isl1 * my1 - isl0 * my0
+            b_h = g1h * mx1 - g0h * mx0
+            b_l = g1l * mx1 - g0l * mx0
         a_h = g0h * wx0 + g1h * wx1
         a_l = g0l * wx0 + g1l * wx1
-        b_h = g1h * mx1 - g0h * mx0
-        b_l = g1l * mx1 - g0l * mx0
         out = a_h * wv_h + a_l * wv_l
         va = b_h * wv_h + b_l * wv_l
         vb = a_h * wq_h + a_l * wq_l
     else:
         is0, is1 = dp == d0, dp == d1
         wv = is0 * wy0 + is1 * wy1
-        wq = is1 * my1 - is0 * my0
+        if fold:
+            wq = is1.astype(wy0.dtype) - is0.astype(wy0.dtype)
+            va = (g1 - g0) * wv
+        else:
+            wq = is1 * my1 - is0 * my0
+            va = (g1 * mx1 - g0 * mx0) * wv
         a = g0 * wx0 + g1 * wx1
         out = a * wv
-        va = (g1 * mx1 - g0 * mx0) * wv
         vb = a * wq
 
-    def fold(x):
+    def fold_band(x):
         return jnp.sum(x.reshape(band, C, L), axis=0)
 
-    return fold(out), fold(va), fold(vb)
+    return fold_band(out), fold_band(va), fold_band(vb)
 
 
 def _kernel_fused(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, va_ref,
-                  vb_ref, *, G, T, band, C, L, packed, Ho):
+                  vb_ref, *, G, T, band, C, L, packed, Ho, fold=False):
     """Fused fwd+vjp kernel; three whole-block outputs (out, va, vb) —
     partial sublane-slice stores at non-vreg-aligned offsets wedge the
     Mosaic compile, so each result gets its own ref."""
@@ -233,7 +291,7 @@ def _kernel_fused(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, va_ref,
             ws = ws_ref[(n * Ho + h * G + g) * T + u]
             o, va, vb = _fused_tile(
                 ipack_ref, fpack_ref, lambda t: band_ref[0, g, ws + t], g, u,
-                T=T, band=band, C=C, L=L, packed=packed)
+                T=T, band=band, C=C, L=L, packed=packed, fold=fold)
             out_ref[0, g, u] = o
             va_ref[0, g, u] = va
             vb_ref[0, g, u] = vb
@@ -241,7 +299,7 @@ def _kernel_fused(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, va_ref,
 
 def _kernel_dma_fused(ymin_ref, ws_ref, ipack_ref, fpack_ref, img_ref,
                       out_ref, va_ref, vb_ref, scr, sems, *, G, T, band, C,
-                      L, packed, NI, Ho):
+                      L, packed, NI, Ho, fold=False):
     """Fused fwd+vjp kernel with the band row-gather as double-buffered DMA
     (see :func:`_kernel_dma`)."""
     slot, n, h = _dma_prologue(ymin_ref, img_ref, scr, sems, G=G, NI=NI)
@@ -251,14 +309,14 @@ def _kernel_dma_fused(ymin_ref, ws_ref, ipack_ref, fpack_ref, img_ref,
             ws = ws_ref[(n * Ho + h * G + g) * T + u]
             o, va, vb = _fused_tile(
                 ipack_ref, fpack_ref, lambda t: scr[slot, g, ws + t], g, u,
-                T=T, band=band, C=C, L=L, packed=packed)
+                T=T, band=band, C=C, L=L, packed=packed, fold=fold)
             out_ref[0, g, u] = o
             va_ref[0, g, u] = va
             vb_ref[0, g, u] = vb
 
 
 def _kernel(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, *, G, T, band,
-            C, L, packed, Ho):
+            C, L, packed, Ho, fold=False):
     """Blocks: ws (scalar prefetch) [B*Ho*T] int32 window starts (flat:
     SMEM pads the trailing dim to 128, so 1D keeps it small),
     ipack [1, G, T, 6, L] int32 (x0r, x0t, x1r, x1t, d0, d1),
@@ -273,7 +331,7 @@ def _kernel(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, *, G, T, band,
             ws = ws_ref[(n * Ho + h * G + g) * T + u]
             out_ref[0, g, u] = _fwd_tile(
                 ipack_ref, fpack_ref, lambda t: band_ref[0, g, ws + t], g, u,
-                T=T, band=band, C=C, L=L, packed=packed)
+                T=T, band=band, C=C, L=L, packed=packed, fold=fold)
 
 
 def _kernel_bwd(ws_ref, ipack_ref, fpack_ref, band_ref, gcot_ref, out_ref, *,
@@ -381,7 +439,7 @@ def _dma_prologue(ymin_ref, img_ref, scr, sems, *, G, NI):
 
 
 def _kernel_dma(ymin_ref, ws_ref, ipack_ref, fpack_ref, img_ref, out_ref,
-                scr, sems, *, G, T, band, C, L, packed, NI, Ho):
+                scr, sems, *, G, T, band, C, L, packed, NI, Ho, fold=False):
     """Forward kernel with the band row-gather fused in as double-buffered
     DMA from the HBM image (no [B, Ho, band*C, W] materialization in HBM).
     Blocks as :func:`_kernel` except the band comes from ``scr``."""
@@ -392,7 +450,7 @@ def _kernel_dma(ymin_ref, ws_ref, ipack_ref, fpack_ref, img_ref, out_ref,
             ws = ws_ref[(n * Ho + h * G + g) * T + u]
             out_ref[0, g, u] = _fwd_tile(
                 ipack_ref, fpack_ref, lambda t: scr[slot, g, ws + t], g, u,
-                T=T, band=band, C=C, L=L, packed=packed)
+                T=T, band=band, C=C, L=L, packed=packed, fold=fold)
 
 
 def _kernel_dma_bwd(ymin_ref, ws_ref, ipack_ref, fpack_ref, gcot_ref,
@@ -444,16 +502,17 @@ def warp_rows_pallas_dma(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
 
     ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
     fpack_tiled = _tile_w(fpack.astype(img_tiled.dtype), T, L)
+    F = fpack_tiled.shape[3]
 
     kernel = functools.partial(_kernel_dma, G=G, T=T, band=band, C=C, L=L,
-                               packed=packed, NI=NI, Ho=Ho)
+                               packed=packed, NI=NI, Ho=Ho, fold=F > 4)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Ho // G),
         in_specs=[
             pl.BlockSpec((1, G, T, 6, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, 4, L), lambda n, h, *_: (n, h, 0, 0, 0),
+            pl.BlockSpec((1, G, T, F, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -574,16 +633,17 @@ def warp_rows_pallas_fused(bands_cw: jnp.ndarray, ws: jnp.ndarray,
     band_tiled = _tile_w(bands_cw, T, L)
     ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
     fpack_tiled = _tile_w(fpack8.astype(bands_cw.dtype), T, L)
+    F = fpack_tiled.shape[3]
 
     kernel = functools.partial(_kernel_fused, G=G, T=T, band=band, C=C, L=L,
-                               packed=packed, Ho=Ho)
+                               packed=packed, Ho=Ho, fold=F > 8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Ho // G),
         in_specs=[
             pl.BlockSpec((1, G, T, 6, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, 8, L), lambda n, h, *_: (n, h, 0, 0, 0),
+            pl.BlockSpec((1, G, T, F, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, T, KL, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -616,16 +676,17 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
 
     ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
     fpack_tiled = _tile_w(fpack8.astype(img_tiled.dtype), T, L)
+    F = fpack_tiled.shape[3]
 
     kernel = functools.partial(_kernel_dma_fused, G=G, T=T, band=band, C=C,
-                               L=L, packed=packed, NI=NI, Ho=Ho)
+                               L=L, packed=packed, NI=NI, Ho=Ho, fold=F > 8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Ho // G),
         in_specs=[
             pl.BlockSpec((1, G, T, 6, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, 8, L), lambda n, h, *_: (n, h, 0, 0, 0),
+            pl.BlockSpec((1, G, T, F, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -671,16 +732,17 @@ def warp_rows_pallas(bands_cw: jnp.ndarray, ws: jnp.ndarray,
     band_tiled = _tile_w(bands_cw, T, L)
     ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
     fpack_tiled = _tile_w(fpack.astype(bands_cw.dtype), T, L)
+    F = fpack_tiled.shape[3]
 
     kernel = functools.partial(_kernel, G=G, T=T, band=band, C=C, L=L,
-                               packed=packed, Ho=Ho)
+                               packed=packed, Ho=Ho, fold=F > 4)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Ho // G),
         in_specs=[
             pl.BlockSpec((1, G, T, 6, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, 4, L), lambda n, h, *_: (n, h, 0, 0, 0),
+            pl.BlockSpec((1, G, T, F, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, T, KL, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -839,7 +901,14 @@ def grid_sample_band_pallas(image: jnp.ndarray, iw: dict, band: int,
     B, H, W, C = image.shape
     L = W if W <= _LANE else _LANE
     ipack, ws = _make_ipack(iw, W, L)
-    fpack = jnp.stack([wx0, wx1, wy0, wy1], axis=2).astype(jnp.float32)
+    rows = [wx0, wx1, wy0, wy1]
+    if FOLD_WIN:
+        # window one-hots as prefetched f32 rows (pure one-hots here: any
+        # padding handling is already folded into the caller's weights)
+        f32 = jnp.float32
+        rows += [(ipack[:, :, 1] == t).astype(f32) for t in range(_WINDOW)]
+        rows += [(ipack[:, :, 3] == t).astype(f32) for t in range(_WINDOW)]
+    fpack = jnp.stack(rows, axis=2).astype(jnp.float32)
     if DMA_GATHER if dma is None else dma:
         img_tiled, ymin_rows, rows, packed = _prep_img_dma(image, iw, band)
         return warp_rows_pallas_dma(img_tiled, ymin_rows, ws, ipack, fpack,
@@ -862,8 +931,21 @@ def grid_sample_band_pallas_fused(image: jnp.ndarray, iw: dict, band: int,
     f32 = jnp.float32
     L = W if W <= _LANE else _LANE
     ipack, ws = _make_ipack(iw, W, L)
-    fpack8 = jnp.stack([wx0, wx1, wy0, wy1, mx0, mx1, my0, my1],
-                       axis=2).astype(f32)
+    if FOLD_WIN:
+        # Window one-hots carry the x-validity masks; invalid-y corners are
+        # routed to the out-of-range band sentinel so my* never enters the
+        # kernel. See _fused_tile(fold=True).
+        q0 = [(ipack[:, :, 1] == t) * mx0 for t in range(_WINDOW)]
+        q1 = [(ipack[:, :, 3] == t) * mx1 for t in range(_WINDOW)]
+        ipack = ipack.at[:, :, 4].set(
+            jnp.where(my0 > 0, ipack[:, :, 4], band))
+        ipack = ipack.at[:, :, 5].set(
+            jnp.where(my1 > 0, ipack[:, :, 5], band))
+        fpack8 = jnp.stack([wx0, wx1, wy0, wy1] + q0 + q1,
+                           axis=2).astype(f32)
+    else:
+        fpack8 = jnp.stack([wx0, wx1, wy0, wy1, mx0, mx1, my0, my1],
+                           axis=2).astype(f32)
     if DMA_GATHER if dma is None else dma:
         img_tiled, ymin_rows, rows, packed = _prep_img_dma(image, iw, band)
         return warp_rows_pallas_dma_fused(img_tiled, ymin_rows, ws, ipack,

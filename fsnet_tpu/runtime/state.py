@@ -51,9 +51,12 @@ def init_state(model, sample_batch: Dict, tx, rng: jax.Array,
     """Initialize parameters by tracing the training (or, for eval-only use,
     the test) graph on a sample batch."""
     params_rng, noise_rng = jax.random.split(rng)
-    variables = model.init(
-        {"params": params_rng, "loss_noise": noise_rng},
-        sample_batch, {"is_training": is_training})
+    # jitted: eager per-op dispatch of a full model init costs ~1 min on a
+    # single-core host (and one tunnel round-trip per op on remote TPU);
+    # the jitted graph also lands in the persistent compile cache.
+    variables = jax.jit(
+        lambda rngs, b: model.init(rngs, b, {"is_training": is_training})
+    )({"params": params_rng, "loss_noise": noise_rng}, sample_batch)
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

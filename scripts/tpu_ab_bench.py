@@ -53,18 +53,19 @@ import fsnet_tpu.ops.pallas.warp_kernel as wk
 import fsnet_tpu.ops.warp_fast as wf
 
 VARIANTS = [
-    ("defaults (fused-vjp + dyn-ws)",
-     dict(vjp=False, dynws=True, fused=True)),
-    ("fused-vjp OFF (two kernel passes)",
-     dict(vjp=False, dynws=True, fused=False)),
-    ("dyn-ws OFF (static anchor)",
-     dict(vjp=False, dynws=False, fused=True)),
+    ("defaults (fused + fold-win)",
+     dict(vjp=False, dynws=True, fused=True, fold=True)),
+    ("fold-win OFF (in-kernel compares)",
+     dict(vjp=False, dynws=True, fused=True, fold=False)),
     ("defaults again (drift check)",
-     dict(vjp=False, dynws=True, fused=True)),
+     dict(vjp=False, dynws=True, fused=True, fold=True)),
+    ("fold-win OFF again",
+     dict(vjp=False, dynws=True, fused=True, fold=False)),
 ]
 
 for tag, cfg in VARIANTS:
     fc.PACKED_VJP = cfg["vjp"]
     wk.DYN_WS = cfg["dynws"]
     wf.FUSED_VJP = cfg["fused"]
+    wk.FOLD_WIN = cfg["fold"]
     timed(tag)

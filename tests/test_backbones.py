@@ -4,6 +4,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+
+def _jit_init_apply(model, *args, **apply_kw):
+    """init + forward, both jitted: eager per-op dispatch of a full backbone
+    costs tens of seconds per call on the single-core CI box, while jitted
+    graphs land in the persistent compile cache (conftest)."""
+    variables = jax.jit(lambda k, *a: model.init(k, *a, train=False))(
+        jax.random.PRNGKey(0), *args)
+    out = jax.jit(lambda v, *a: model.apply(v, *a, train=False, **apply_kw))(
+        variables, *args)
+    return variables, out
+
 from fsnet_tpu.models.backbones.convnext import convNext
 from fsnet_tpu.models.backbones.resnet_matching import ResnetEncoderMatching
 
@@ -11,8 +22,7 @@ from fsnet_tpu.models.backbones.resnet_matching import ResnetEncoderMatching
 def test_convnext_tiny_pyramid():
     model = convNext("ConvNeXt-T", out_indices=(0, 1, 2, 3))
     x = jnp.zeros((1, 64, 96, 3))
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    feats = model.apply(variables, x, train=False)
+    _, feats = _jit_init_apply(model, x)
     assert [f.shape for f in feats] == [
         (1, 16, 24, 96), (1, 8, 12, 192), (1, 4, 6, 384), (1, 2, 3, 768)]
 
@@ -33,11 +43,9 @@ def test_resnet_matching_cost_volume():
     P2[:, 0, 0] = P2[:, 1, 1] = 0.58 * W
     P2[:, 0, 2], P2[:, 1, 2], P2[:, 2, 2] = W / 2, H / 2, 1.0
 
-    variables = model.init(jax.random.PRNGKey(0), current, lookup,
-                           jnp.asarray(poses), jnp.asarray(P2), train=False)
-    feats, lowest_cost, conf = model.apply(
-        variables, current, lookup, jnp.asarray(poses), jnp.asarray(P2),
-        train=False, mutable=["batch_stats"])[0]
+    _, out = _jit_init_apply(model, current, lookup, jnp.asarray(poses),
+                             jnp.asarray(P2), mutable=["batch_stats"])
+    feats, lowest_cost, conf = out[0]
 
     assert len(feats) == 5
     assert feats[0].shape == (B, H // 2, W // 2, 64)
@@ -62,11 +70,9 @@ def test_resnet_matching_missing_frame_skipped():
     P2[:, 0, 0] = P2[:, 1, 1] = 30.0
     P2[:, 0, 2], P2[:, 1, 2], P2[:, 2, 2] = W / 2, H / 2, 1.0
 
-    variables = model.init(jax.random.PRNGKey(0), current, lookup, poses,
-                           jnp.asarray(P2), train=False)
-    (feats, lowest_cost, conf), _ = model.apply(
-        variables, current, lookup, poses, jnp.asarray(P2), train=False,
-        mutable=["batch_stats"])
+    _, out = _jit_init_apply(model, current, lookup, poses, jnp.asarray(P2),
+                             mutable=["batch_stats"])
+    (feats, lowest_cost, conf), _ = out
     assert np.all(np.asarray(conf) == 0)
     assert np.all(np.isfinite(np.asarray(feats[-1])))
 
@@ -77,8 +83,7 @@ def test_swin_tiny_pyramid():
     model = swinTransformer("Swin-T", window_size=3, drop_path_rate=0.0,
                             output_indices=(0, 1, 2, 3))
     x = jnp.zeros((1, 96, 96, 3))
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    feats = model.apply(variables, x, train=False)
+    _, feats = _jit_init_apply(model, x)
     # scales: 1/4 (embed), 1/8, 1/16, 1/32 (last stage has no merge)
     assert feats[0].shape == (1, 24, 24, 96)
     assert feats[1].shape == (1, 12, 12, 192)
@@ -90,8 +95,7 @@ def test_vit_single_scale():
     from fsnet_tpu.models.backbones.vit import vit
     model = vit("B_16", num_layers=2, dropout_rate=0.0)
     x = jnp.zeros((1, 64, 96, 3))
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    feats = model.apply(variables, x, train=False)
+    _, feats = _jit_init_apply(model, x)
     assert len(feats) == 1
     assert feats[0].shape == (1, 4, 6, 768)
 
@@ -100,8 +104,7 @@ def test_dla34_pyramid():
     from fsnet_tpu.models.backbones.dla import dlanet
     model = dlanet(34, out_indices=(-1, 0, 1, 2, 3, 4, 5))
     x = jnp.zeros((1, 64, 64, 3))
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    feats = model.apply(variables, x, train=False)
+    _, feats = _jit_init_apply(model, x)
     shapes = [f.shape for f in feats]
     assert shapes == [
         (1, 64, 64, 16), (1, 64, 64, 16), (1, 32, 32, 32), (1, 16, 16, 64),
@@ -113,14 +116,14 @@ def test_dla_seg_upsample():
     from fsnet_tpu.models.backbones.dla_utils import DLASegUpsample
     trunk = dlanet(34, out_indices=(0, 1, 2, 3, 4, 5))
     x = jnp.zeros((1, 64, 64, 3))
-    tv = trunk.init(jax.random.PRNGKey(0), x, train=False)
-    feats = trunk.apply(tv, x, train=False)
+    _, feats = _jit_init_apply(trunk, x)
 
     head = DLASegUpsample(input_channels=(16, 32, 64, 128, 256, 512),
                           down_ratio=4, last_level=5)
-    hv = head.init(jax.random.PRNGKey(1), feats, train=False)
-    out = head.apply(hv, feats, train=False,
-                     mutable=["batch_stats"])[0]
+    hv = jax.jit(lambda k, f: head.init(k, f, train=False))(
+        jax.random.PRNGKey(1), feats)
+    out = jax.jit(lambda v, f: head.apply(
+        v, f, train=False, mutable=["batch_stats"]))(hv, feats)[0]
     assert out.shape == (1, 16, 16, 64)  # 1/4 resolution, first_level channels
 
 
@@ -128,7 +131,6 @@ def test_densenet_features():
     from fsnet_tpu.models.backbones.densenet import densenet
     model = densenet(121)
     x = jnp.zeros((1, 64, 96, 3))
-    variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    out = model.apply(variables, x, train=False)
+    _, out = _jit_init_apply(model, x)
     # transition3 pool removed -> final stride 16 instead of 32
     assert out.shape == (1, 4, 6, 1024)

@@ -149,9 +149,13 @@ def test_wpose_loss_decreases_under_sgd():
             mutable=["batch_stats"])
         return out["loss"]
 
-    loss0, grads = jax.value_and_grad(loss_fn)(params)
+    # jit so the graph lands in the persistent compile cache (conftest):
+    # un-jitted eager dispatch of the full model costs ~1 min per call on
+    # the single-core CI box, every run.
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    loss0, grads = vg(params)
     params2 = jax.tree.map(lambda p, g: p - 1e-2 * g, params, grads)
-    loss1 = loss_fn(params2)
+    loss1, _ = vg(params2)
     assert np.isfinite(float(loss0)) and np.isfinite(float(loss1))
     assert float(loss1) < float(loss0)
 
@@ -169,14 +173,13 @@ def test_wpose_photometric_uncertainty_option():
         batch, {"is_training": True})
     flat = jax.tree_util.tree_leaves_with_path(variables["params"])
     assert any("photometric_net" in jax.tree_util.keystr(p) for p, _ in flat)
-    out, _ = model.apply(variables, batch, {"is_training": True},
-                         rngs={"loss_noise": jax.random.PRNGKey(2)},
-                         mutable=["batch_stats"])
-    assert np.isfinite(float(out["loss"]))
-    g = jax.grad(lambda v: model.apply(
+    # one jitted value_and_grad call: loss + photometric-net grads together
+    # (separate eager apply + grad cost ~2 full un-jitted model walks)
+    loss, g = jax.jit(jax.value_and_grad(lambda v: model.apply(
         {**variables, "params": v}, batch, {"is_training": True},
         rngs={"loss_noise": jax.random.PRNGKey(2)},
-        mutable=["batch_stats"])[0]["loss"])(variables["params"])
+        mutable=["batch_stats"])[0]["loss"]))(variables["params"])
+    assert np.isfinite(float(loss))
     gn = sum(float(jnp.sum(jnp.abs(x)))
              for p, x in jax.tree_util.tree_leaves_with_path(g)
              if "photometric_net" in jax.tree_util.keystr(p))

@@ -102,8 +102,10 @@ def test_packed_decoder_matches_unpacked(train):
     assert (jax.tree_util.tree_structure(v)
             == jax.tree_util.tree_structure(vp))
 
-    ou, mu = dec_u.apply(v, feats, train=train, mutable=["batch_stats"])
-    op, mp = dec_p.apply(v, feats, train=train, mutable=["batch_stats"])
+    ou, mu = jax.jit(lambda v_, f: dec_u.apply(
+        v_, f, train=train, mutable=["batch_stats"]))(v, feats)
+    op, mp = jax.jit(lambda v_, f: dec_p.apply(
+        v_, f, train=train, mutable=["batch_stats"]))(v, feats)
     for k in ou:
         np.testing.assert_allclose(np.asarray(ou[k]), np.asarray(op[k]),
                                    atol=5e-4, rtol=1e-3, err_msg=str(k))
@@ -140,14 +142,18 @@ def test_conv3x3_packed_custom_vjp_matches_autodiff(pad_mode):
         finally:
             fc.PACKED_VJP = True
         if probe is None:
-            probe = jnp.cos(jnp.arange(out.size, dtype=jnp.float32)
-                            ).reshape(out.shape)
+            # numpy (not jnp): created inside the first jit trace, a jnp
+            # probe would be a tracer leaking into the second jitted grad
+            probe = np.cos(np.arange(int(np.prod(out.shape)),
+                                     dtype=np.float32)).reshape(out.shape)
         return jnp.sum(out * probe)
 
-    ga = jax.grad(lambda p, w_, b_: loss(p, w_, b_, False),
-                  argnums=(0, 1, 2))(parts, w, b)
-    gc = jax.grad(lambda p, w_, b_: loss(p, w_, b_, True),
-                  argnums=(0, 1, 2))(parts, w, b)
+    # jitted: eager per-op dispatch of the two grad graphs costs ~1 min on
+    # the single-core CI box; jitted graphs hit the persistent compile cache
+    ga = jax.jit(jax.grad(lambda p, w_, b_: loss(p, w_, b_, False),
+                          argnums=(0, 1, 2)))(parts, w, b)
+    gc = jax.jit(jax.grad(lambda p, w_, b_: loss(p, w_, b_, True),
+                          argnums=(0, 1, 2)))(parts, w, b)
     for a, c in zip(jax.tree.leaves(ga), jax.tree.leaves(gc)):
         a, c = np.asarray(a), np.asarray(c)
         # f32 matmul-ordering noise only: scale atol to the tensor magnitude

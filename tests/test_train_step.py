@@ -144,6 +144,10 @@ def test_graft_entry_dryrun():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     fn, args = ge.entry()
-    out = jax.jit(fn)(*args)
-    assert out["depth"].shape == (1, 192, 640, 1)
+    # trace + lower only: catches API/tracing breakage without paying the
+    # full-res XLA backend compile (~1 min on the single-core CI box); the
+    # driver executes the real single-chip compile-check every round.
+    lowered = jax.jit(fn).lower(*args)
+    shape = lowered.out_info["depth"].shape
+    assert tuple(shape) == (1, 192, 640, 1), shape
     ge.dryrun_multichip(8)
