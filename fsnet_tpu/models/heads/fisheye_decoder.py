@@ -84,11 +84,17 @@ class FishEyeDecoder(MonoDepth2Decoder):
         ], axis=0)  # [F, B, 4, 4]
 
         def grid_for(norm_s, T_f):
-            points, _ = self._lift(norm_s, input_dict)  # [B, H, W, 3]
+            # grid math in f32 even under bf16 mixed precision: pixel
+            # addressing needs sub-pixel accuracy, bf16 quantizes to +-2 px
+            # beyond x ~ 256 (see ops.geometry.reproject)
+            points, _ = self._lift(norm_s.astype(jnp.float32), input_dict)
             homo = jnp.concatenate([points, jnp.ones_like(points[..., :1])],
                                    axis=-1)
-            transformed = jnp.einsum("bij,bhwj->bhwi", T_f, homo)[..., 0:3]
-            pix = _mei_project(transformed, P, params)
+            transformed = jnp.einsum(
+                "bij,bhwj->bhwi", T_f.astype(jnp.float32),
+                homo.astype(jnp.float32))[..., 0:3]
+            pix = _mei_project(transformed, P.astype(jnp.float32),
+                               params.astype(jnp.float32))
             u = pix[..., 0] / max(W - 1, 1) * 2.0 - 1.0
             v = pix[..., 1] / max(H - 1, 1) * 2.0 - 1.0
             return jnp.stack([u, v], axis=-1)

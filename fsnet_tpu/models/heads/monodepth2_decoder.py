@@ -314,7 +314,11 @@ class MonoDepth2Decoder(nn.Module):
             "ssim_weight", jnp.ones((B, H, W), dtype=to_opt.dtype))
         to_opt = to_opt * patched_mask[None] * ssim_weight[None]
 
-        photo_norm = jnp.sum(patched_mask) + 1e-6
+        # scalar reductions accumulate in >= f32 (a bf16 sum over B*H*W
+        # elements saturates/quantizes once the partial sum is large) but
+        # keep f64 at f64 for the x64 parity oracle
+        acc_t = jnp.promote_types(to_opt.dtype, jnp.float32)
+        photo_norm = jnp.sum(patched_mask, dtype=acc_t) + 1e-6
         total_loss = 0.0
         for si, s in enumerate(scales):
             to_opt_s = to_opt[si]
@@ -330,7 +334,7 @@ class MonoDepth2Decoder(nn.Module):
                 gw = self.photometric_net_grad_weight
                 u = gw * u + (1.0 - gw) * jax.lax.stop_gradient(u)
                 to_opt_s = to_opt_s / u + jnp.log(u + 1e-5)
-            loss_s = jnp.sum(to_opt_s) / photo_norm
+            loss_s = jnp.sum(to_opt_s, dtype=acc_t) / photo_norm
 
             disp = output_dict[("disp", s)]  # [B, h, w, 1]
             h, w = disp.shape[1], disp.shape[2]

@@ -175,15 +175,20 @@ def reproject(depth: jnp.ndarray, K: jnp.ndarray, inv_K: jnp.ndarray,
     XLA tiles best on the MXU.
     """
     B, H, W, _ = depth.shape
-    # camera-matrix algebra in >= f32 (jnp.linalg.inv upcasts anyway); only
-    # the per-pixel work runs in the compute dtype
+    # The WHOLE chain runs in >= f32 even under bf16 mixed precision and the
+    # returned grid stays f32: pixel addressing needs sub-pixel precision,
+    # and bf16 quantizes pixel coordinates to +-2 px beyond x ~ 256 (and cam
+    # ratios to ~0.8%), which corrupts every warp at the KITTI W=640 — and
+    # NaN-poisons the Pallas gather path when z crosses zero in bf16
+    # (convergence probe, BASELINE.md). Per-pixel cost is one 3x3 matvec;
+    # the bandwidth win of bf16 lives in the image warps, not here.
     mat_t = jnp.promote_types(K.dtype, jnp.float32)
     P = jnp.matmul(K.astype(mat_t), T.astype(mat_t))[:, :3, :]
     A = jnp.matmul(P[:, :, :3], inv_K[:, :3, :3].astype(mat_t))
-    A = A.astype(depth.dtype)
-    b = P[:, :, 3].astype(depth.dtype)       # [B, 3] constant term
-    grid = pixel_grid(H, W, dtype=depth.dtype)
-    cam = jnp.einsum("bij,hwj->bhwi", A, grid) * depth + b[:, None, None, :]
+    b = P[:, :, 3]                            # [B, 3] constant term
+    grid = pixel_grid(H, W, dtype=mat_t)
+    cam = (jnp.einsum("bij,hwj->bhwi", A, grid) * depth.astype(mat_t)
+           + b[:, None, None, :])
     pix = cam[..., :2] / (cam[..., 2:3] + 1e-7)
     u = pix[..., 0] / (W - 1)
     v = pix[..., 1] / (H - 1)
@@ -203,7 +208,11 @@ def get_smooth_loss(disp: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
 
     grad_disp_x = grad_disp_x * jnp.exp(-grad_img_x)
     grad_disp_y = grad_disp_y * jnp.exp(-grad_img_y)
-    return jnp.mean(grad_disp_x) + jnp.mean(grad_disp_y)
+    # >= f32 accumulation: bf16 means over B*H*W elements quantize badly
+    # (promote, not hard-cast: f64 parity tests need f64 accumulation)
+    acc_t = jnp.promote_types(grad_disp_x.dtype, jnp.float32)
+    return (jnp.mean(grad_disp_x, dtype=acc_t)
+            + jnp.mean(grad_disp_y, dtype=acc_t))
 
 
 def decode_depth_inv_sigmoid(depth):

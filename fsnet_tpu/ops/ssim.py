@@ -62,8 +62,17 @@ def ssim(x: jnp.ndarray, y: jnp.ndarray, kernel_size: int = 3,
     mu_x = _avg_pool_same(x, kernel_size, padding)
     mu_y = _avg_pool_same(y, kernel_size, padding)
 
-    sigma_x = _avg_pool_same(x * x, kernel_size, padding) - mu_x * mu_x
-    sigma_y = _avg_pool_same(y * y, kernel_size, padding) - mu_y * mu_y
+    # clamp the variance estimates at >= 0: mathematically a no-op (true
+    # variances are non-negative; f32/f64 negatives are ~1e-7 cancellation
+    # noise, far below C2), but under bf16 compute the E[x^2] - mu^2
+    # cancellation error reaches ~1% of E[x^2] on low-variance (flat-texture)
+    # windows, driving sigma_x + sigma_y to exactly -C2 and the denominator
+    # to 0 -> 0/0 NaN (observed at step 0 of the convergence probe on TPU).
+    # The clamp bounds ssim_d >= C1*C2 > 0 in every dtype.
+    sigma_x = jnp.maximum(
+        _avg_pool_same(x * x, kernel_size, padding) - mu_x * mu_x, 0.0)
+    sigma_y = jnp.maximum(
+        _avg_pool_same(y * y, kernel_size, padding) - mu_y * mu_y, 0.0)
     sigma_xy = _avg_pool_same(x * y, kernel_size, padding) - mu_x * mu_y
 
     ssim_n = (2.0 * mu_x * mu_y + _C1) * (2.0 * sigma_xy + _C2)
@@ -78,8 +87,11 @@ def ssim_uncer(x0: jnp.ndarray, y0: jnp.ndarray, kernel_size: int = 3,
     mu_x = _avg_pool_same(x0, kernel_size, padding)
     mu_y = _avg_pool_same(y0, kernel_size, padding)
 
-    sigma_x = _avg_pool_same(x0 * x0, kernel_size, padding) - mu_x * mu_x
-    sigma_y = _avg_pool_same(y0 * y0, kernel_size, padding) - mu_y * mu_y
+    # variance clamp: see ssim()
+    sigma_x = jnp.maximum(
+        _avg_pool_same(x0 * x0, kernel_size, padding) - mu_x * mu_x, 0.0)
+    sigma_y = jnp.maximum(
+        _avg_pool_same(y0 * y0, kernel_size, padding) - mu_y * mu_y, 0.0)
     sigma_xy = _avg_pool_same(x0 * y0, kernel_size, padding) - mu_x * mu_y
 
     N = kernel_size ** 2

@@ -140,7 +140,7 @@ def make_batch(rng, batch):
 
 # --------------------------------------------------------------------- driver
 
-def flagship(warp_impl):
+def flagship(warp_impl, warp_band=16):
     from fsnet_tpu.models import MonoDepthWPose
 
     return MonoDepthWPose(
@@ -153,6 +153,7 @@ def flagship(warp_impl):
             scales=(0, 1, 2, 3), height=H, width=W,
             min_depth=0.5, max_depth=100.0, is_log_image=False,
             overlapped_mask=True, warp_impl=warp_impl,
+            warp_band=warp_band,
             depth_decoder_cfg=dict(
                 name="fsnet_tpu.models.heads.depth_decoder."
                      "MultiChannelDepthDecoder",
@@ -168,7 +169,8 @@ def abs_rel(pred, gt):
     return float(np.mean(np.abs(pred - gt) / gt))
 
 
-def run(tag, warp_impl, compute_dtype, batches, gts, steps, eval_every):
+def run(tag, warp_impl, compute_dtype, batches, gts, steps, eval_every,
+        warp_band=16):
     import jax
     import jax.numpy as jnp
 
@@ -176,7 +178,7 @@ def run(tag, warp_impl, compute_dtype, batches, gts, steps, eval_every):
     from fsnet_tpu.runtime.state import init_state, make_eval_step, \
         make_train_step
 
-    model = flagship(warp_impl)
+    model = flagship(warp_impl, warp_band)
     tx, _ = build_optimizer(dict(name="adam", lr=1e-4),
                             dict(name="StepLR", step_size=15),
                             steps_per_epoch=len(batches), clip_gradients=1.0)
@@ -223,9 +225,14 @@ def main():
     results = []
     for cfg in args.configs:
         warp, prec = cfg.split(":")
+        band = 16
+        if warp.startswith("band") and warp != "band":
+            band = int(warp[len("band"):])   # e.g. band12:f32
+            warp = "band"
         print(f"== {cfg}: compiling...", flush=True)
         results.append(run(cfg, warp, None if prec == "f32" else prec,
-                           batches, gts, args.steps, args.eval_every))
+                           batches, gts, args.steps, args.eval_every,
+                           warp_band=band))
         with open(args.out, "w") as f:
             json.dump(results, f)
 

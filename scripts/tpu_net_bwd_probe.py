@@ -67,7 +67,10 @@ def main():
 
     feats = enc.apply(ev, x, train=True, mutable=["batch_stats"])[0]
 
-    for packed in (True, False):
+    # unpacked bwd compiles take many minutes under scan(grad); opt-in
+    variants = ((True, False) if os.environ.get("FSNET_PROBE_UNPACKED")
+                else (True,))
+    for packed in variants:
         dec = dd.MultiChannelDepthDecoder(
             packed=packed, num_output_channels=16, use_skips=True,
             scales=(0, 1, 2, 3), min_depth=0.5, max_depth=100.0)
