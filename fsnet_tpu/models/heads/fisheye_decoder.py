@@ -56,6 +56,11 @@ def _mei_project(points: jnp.ndarray, P: jnp.ndarray, params: jnp.ndarray,
 class FishEyeDecoder(MonoDepth2Decoder):
     """Drop-in fisheye head; same config surface as the reference."""
 
+    # Mei fisheye reprojections bend rows vertically far more than pinhole
+    # grids; keep the wider band here (the band-8 default was validated on
+    # pinhole KITTI motion only — BASELINE.md convergence probe).
+    warp_band: int = 16
+
     def _lift(self, norm_map: jnp.ndarray, input_dict: Dict):
         """norm [B, H, W, 1] + batched ray maps -> (points [B, H, W, 3],
         valid mask [B, H, W])."""

@@ -90,9 +90,13 @@ class MonoDepth2Decoder(nn.Module):
     photometric_net_cfg: Optional[Dict] = None
     photometric_net_grad_weight: float = 0.05
     # TPU warp implementation: 'band' (fast, MXU two-hot) or 'gather' (exact
-    # reference formulation for arbitrary warps) — see ops/warp_fast.py
+    # reference formulation for arbitrary warps) — see ops/warp_fast.py.
+    # band=8 default: the 300-step convergence probe (realistic KITTI
+    # motion) shows band-8 tracking the exact-warp oracle (AbsRel 0.130 vs
+    # 0.134 bf16) while cutting the warp kernels' dominant sublane rows —
+    # +15% full-step throughput vs band=16 (BASELINE.md).
     warp_impl: str = "band"
-    warp_band: int = 16
+    warp_band: int = 8
 
     def setup(self):
         assert self.depth_decoder_cfg is not None, "depth_decoder_cfg required"

@@ -113,6 +113,9 @@ def conv3x3_packed(xp, w: jnp.ndarray,
     kH, kW, Cw, Co = w.shape
     assert (kH, kW) == (3, 3), (kH, kW)
     assert Cw == sum(Cs), (Cw, Cs)
+    if PALLAS_CONV and _pallas_conv_supported(parts, Cs, Co):
+        return _conv3x3_pallas_cvjp(tuple(parts), w, bias, tuple(Cs),
+                                    pad_mode)
     if PACKED_VJP and bias is not None:
         return _conv3x3_packed_cvjp(tuple(parts), w, bias, tuple(Cs),
                                     pad_mode)
@@ -122,6 +125,8 @@ def conv3x3_packed(xp, w: jnp.ndarray,
 def _conv3x3_forward(parts, Cs, w, bias, pad_mode: str) -> jnp.ndarray:
     Co = w.shape[3]
     P = max(128 // Co, 1)
+    if SUMMUL:
+        return _conv3x3_forward_summul(parts, Cs, w, bias, pad_mode)
     # The K=(P+2)*C*3 contraction accumulates in f32 (MXU native bf16-mul/
     # f32-acc mode, matching the unpacked nn.Conv), but the result is cast to
     # the compute dtype IN the matmul epilogue so the [B, H+2, NB, 3N] plane
@@ -135,6 +140,42 @@ def _conv3x3_forward(parts, Cs, w, bias, pad_mode: str) -> jnp.ndarray:
     N = P * Co
     out = (y[:, 0:H, :, 0:N] + y[:, 1:H + 1, :, N:2 * N]
            + y[:, 2:H + 2, :, 2 * N:])
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(out.dtype), P)
+    return out
+
+
+def _conv3x3_forward_summul(parts, Cs, w, bias, pad_mode: str) -> jnp.ndarray:
+    """A/B variant (:data:`SUMMUL`): three H-shifted [M, K] @ [K, N] matmuls
+    summed, instead of one [M, K] @ [K, 3N] matmul + materialized dy-plane
+    shifted add. Reads the window columns 3x but never writes/rereads the
+    3x-wide y-plane tensor — a win iff XLA output-fuses the matmul sum."""
+    Co = w.shape[3]
+    P = max(128 // Co, 1)
+    N = P * Co
+    cols = [_part_cols(p, c, P, pad_mode) for p, c in zip(parts, Cs)]
+    cols = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=3)
+    B, H, NB, K = cols.shape
+    if pad_mode == "replicate":
+        colsp = jnp.concatenate([cols[:, :1], cols, cols[:, -1:]], axis=1)
+    else:
+        colsp = jnp.pad(cols, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+    off = 0
+    wmats = []
+    for c in Cs:
+        wmats.append(_toeplitz_wmat(w[:, :, off:off + c, :], P))
+        off += c
+    wmat = (wmats[0] if len(wmats) == 1
+            else jnp.concatenate(wmats, axis=1))       # [3, K, N]
+
+    out = None
+    for dy in range(3):
+        y = jnp.dot(colsp[:, dy:H + dy].reshape(-1, K),
+                    wmat[dy].astype(cols.dtype),
+                    preferred_element_type=jnp.float32)
+        out = y if out is None else out + y
+    out = out.astype(cols.dtype).reshape(B, H, NB, N)
     if bias is not None:
         out = out + jnp.tile(bias.astype(out.dtype), P)
     return out
@@ -291,6 +332,123 @@ import os as _os
 #: backward on v5e. Kept (exact, tested in tests/test_packed_decoder.py)
 #: for future re-evaluation on other topologies.
 PACKED_VJP = _os.environ.get("FSNET_PACKED_VJP", "0") == "1"
+
+#: A/B toggle: 3-matmul dy-plane-sum forward (see _conv3x3_forward_summul).
+SUMMUL = _os.environ.get("FSNET_CONV3_SUMMUL", "0") == "1"
+
+#: Fused Pallas conv kernel (one HBM read in, one write out — kills the
+#: cols + dy-plane materializations). Dispatches on TPU backends for
+#: lane-tileable shapes; ``FSNET_CONV3_PALLAS=0`` restores the XLA path.
+PALLAS_CONV = _os.environ.get("FSNET_CONV3_PALLAS", "1") != "0"
+
+
+def _pallas_conv_supported(parts, Cs, Co) -> bool:
+    import jax as _jax
+
+    if _jax.default_backend() not in ("tpu", "axon"):
+        return False
+    from .pallas import conv_kernel as ck
+
+    P = max(128 // Co, 1)
+    if P * Co % 128 != 0:
+        return False
+    for part, c in zip(parts, Cs):
+        W_tot = part.shape[2] * (part.shape[-1] // c)
+        if W_tot % P != 0:
+            return False
+        if not ck.conv_kernel_supported(W_tot // P, P * c, P * Co,
+                                        part.dtype):
+            return False
+    return True
+
+
+def _rowpad3(xp: jnp.ndarray, pad_mode: str, extra: int = 0) -> jnp.ndarray:
+    """[B, H, NB, PC] -> [B, H + 2 + 2*extra, NB, PC] row padding for the
+    fused kernel (conv row pad + ``extra`` zero rows per side for the
+    cotangent pass)."""
+    if pad_mode == "replicate":
+        xp = jnp.concatenate([xp[:, :1], xp, xp[:, -1:]], axis=1)
+    else:
+        xp = jnp.pad(xp, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    if extra:
+        xp = jnp.pad(xp, ((0, 0), (extra, extra), (0, 0), (0, 0)))
+    return xp
+
+
+def _conv3x3_forward_pallas(parts, Cs, w, bias, pad_mode: str):
+    from .pallas import conv_kernel as ck
+
+    Co = w.shape[3]
+    P = max(128 // Co, 1)
+    out = None
+    off = 0
+    for part, c in zip(parts, Cs):
+        xp = repack(part, c, P)
+        xpad = _rowpad3(xp, pad_mode)
+        mats = ck.make_mats(w[:, :, off:off + c], P, pad_mode, xp.dtype)
+        off += c
+        brow = (jnp.tile(bias.astype(xp.dtype), P)[None]
+                if bias is not None and out is None else None)
+        o = ck.conv3x3_fused_mats(xpad, mats, brow)
+        out = o if out is None else out + o
+    return out
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv3x3_pallas_cvjp(parts, w, bias, Cs, pad_mode):
+    return _conv3x3_forward_pallas(list(parts), list(Cs), w, bias, pad_mode)
+
+
+def _pallas_cvjp_fwd(parts, w, bias, Cs, pad_mode):
+    out = _conv3x3_forward_pallas(list(parts), list(Cs), w, bias, pad_mode)
+    return out, (parts, w, None if bias is None else True)
+
+
+def _pallas_cvjp_bwd(Cs, pad_mode, res, g):
+    from .pallas import conv_kernel as ck
+
+    parts, w, has_bias = res
+    Co = w.shape[3]
+    P = max(128 // Co, 1)
+    B, H, NBo, PCo = g.shape
+
+    # dx out rows span the padded input (H+2); round the kernel's output
+    # height up to a multiple of 16 so the row DMA keeps large windows.
+    # Alignment: the kernel computes dxpad[r] = sum_dy' G[r+dy'] @ M2[dy']
+    # with M2[dy'] = M[2-dy']^T, i.e. sum_dy G[r+2-dy] @ M[dy]^T; the true
+    # cotangent is dxpad[r] = sum_dy g[r-dy] @ M[dy]^T, so G[k] = g[k-2]:
+    # TWO zero rows on top, zeros to Hout+2 below.
+    Hout = -(-(H + 2) // 16) * 16
+    gpad = jnp.pad(g, ((0, 0), (2, Hout - H), (0, 0), (0, 0)))
+
+    dxs, dws = [], []
+    off = 0
+    for part, c in zip(parts, Cs):
+        xp = repack(part, c, P)
+        xpad = _rowpad3(xp, pad_mode)
+        wp = w[:, :, off:off + c]
+        off += c
+        mats = ck.make_mats(wp, P, pad_mode, g.dtype)
+        dxpad = ck.conv3x3_fused_mats(gpad, ck.transpose_mats(mats), None)
+        dxpad = dxpad[:, :H + 2]               # rows of xpad
+        dxp = dxpad[:, 1:H + 1]
+        if pad_mode == "replicate":
+            dxp = jnp.concatenate(
+                [dxp[:, :1] + dxpad[:, :1], dxp[:, 1:H - 1],
+                 dxp[:, H - 1:] + dxpad[:, H + 1:]], axis=1)
+        P_in = part.shape[-1] // c
+        dxs.append(repack(dxp, c, P_in).astype(part.dtype))
+
+        dwacc = ck.conv3x3_fused_dw(xpad, g)
+        dws.append(ck.fold_dw(dwacc, P, c, Co, pad_mode).astype(w.dtype))
+
+    dw = dws[0] if len(dws) == 1 else jnp.concatenate(dws, axis=2)
+    dbias = (jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2))
+             .reshape(P, Co).sum(0).astype(g.dtype) if has_bias else None)
+    return tuple(dxs), dw, dbias
+
+
+_conv3x3_pallas_cvjp.defvjp(_pallas_cvjp_fwd, _pallas_cvjp_bwd)
 
 
 @_partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -53,19 +53,17 @@ import fsnet_tpu.ops.pallas.warp_kernel as wk
 import fsnet_tpu.ops.warp_fast as wf
 
 VARIANTS = [
-    ("defaults (fused + fold-win)",
-     dict(vjp=False, dynws=True, fused=True, fold=True)),
-    ("fold-win OFF (in-kernel compares)",
-     dict(vjp=False, dynws=True, fused=True, fold=False)),
-    ("defaults again (drift check)",
-     dict(vjp=False, dynws=True, fused=True, fold=True)),
-    ("fold-win OFF again",
-     dict(vjp=False, dynws=True, fused=True, fold=False)),
+    ("pallas conv (default)", dict(pallas=True)),
+    ("XLA one-matmul planes", dict(pallas=False)),
+    ("XLA summul (3-matmul dy sum)", dict(pallas=False, summul=True)),
+    ("pallas conv again (drift check)", dict(pallas=True)),
 ]
 
 for tag, cfg in VARIANTS:
-    fc.PACKED_VJP = cfg["vjp"]
-    wk.DYN_WS = cfg["dynws"]
-    wf.FUSED_VJP = cfg["fused"]
-    wk.FOLD_WIN = cfg["fold"]
+    fc.PALLAS_CONV = cfg.get("pallas", True)
+    fc.SUMMUL = cfg.get("summul", False)
+    fc.PACKED_VJP = cfg.get("vjp", False)
+    wk.DYN_WS = cfg.get("dynws", True)
+    wf.FUSED_VJP = cfg.get("fused", True)
+    wk.FOLD_WIN = cfg.get("fold", False)
     timed(tag)

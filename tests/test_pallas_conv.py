@@ -1,0 +1,116 @@
+"""Fused Pallas packed-conv kernel (interpret mode on CPU) vs the XLA
+block-Toeplitz packed conv: forward, input/weight/bias cotangents, both pad
+modes, single- and multi-part inputs."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import jax.experimental.pallas as pl
+
+import fsnet_tpu.ops.pallas.conv_kernel as ck
+from fsnet_tpu.ops import fast_conv as fc
+
+
+@pytest.fixture(autouse=True)
+def _interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(ck.pl, "pallas_call", patched)
+
+
+def _loss(out):
+    return jnp.sum(out.astype(jnp.float32) ** 2)
+
+
+def _compare(f_ref, f_pal, args, atol=1e-4):
+    out_ref = f_ref(*args)
+    out_pal = f_pal(*args)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
+                               atol=atol, rtol=1e-5)
+    n = len(args)
+    gr = jax.grad(lambda *a: _loss(f_ref(*a)), argnums=tuple(range(n)))(*args)
+    gp = jax.grad(lambda *a: _loss(f_pal(*a)), argnums=tuple(range(n)))(*args)
+    for i, (a, b) in enumerate(zip(gr, gp)):
+        ra, rb = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            rb, ra, atol=1e-3 * max(1.0, np.abs(ra).max()), rtol=1e-3,
+            err_msg=f"grad argnum {i}")
+
+
+@pytest.mark.parametrize("pad_mode", ["zeros", "replicate"])
+def test_pallas_conv_single_part(pad_mode):
+    B, H, W, C, Co = 2, 16, 128, 16, 16
+    P = 128 // Co
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, C, Co).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(Co).astype(np.float32) * 0.1)
+    xp = fc.pack_width(x, P)
+
+    _compare(
+        lambda xp_, w_, b_: fc._conv3x3_forward([xp_], [C], w_, b_, pad_mode),
+        lambda xp_, w_, b_: fc._conv3x3_pallas_cvjp((xp_,), w_, b_, (C,),
+                                                    pad_mode),
+        (xp, w, b))
+
+
+@pytest.mark.parametrize("pad_mode", ["zeros", "replicate"])
+def test_pallas_conv_two_part(pad_mode):
+    """Channel-concat semantics across two parts at different pack factors
+    (the trunk's skip concat): C=(32, 64) -> Co=32, P=4, part PCs 128/256."""
+    B, H, W = 2, 8, 64
+    C1, C2, Co = 32, 64, 32
+    P = 128 // Co
+    rng = np.random.RandomState(1)
+    x1 = jnp.asarray(rng.randn(B, H, W, C1).astype(np.float32))
+    x2 = jnp.asarray(rng.randn(B, H, W, C2).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, C1 + C2, Co).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(Co).astype(np.float32) * 0.1)
+    p1 = fc.pack_width(x1, 2)      # different incoming pack factors
+    p2 = fc.pack_width(x2, 1)
+
+    _compare(
+        lambda a, c, w_, b_: fc._conv3x3_forward([a, c], [C1, C2], w_, b_,
+                                                 pad_mode),
+        lambda a, c, w_, b_: fc._conv3x3_pallas_cvjp((a, c), w_, b_,
+                                                     (C1, C2), pad_mode),
+        (p1, p2, w, b))
+
+
+def test_pallas_conv_vs_native_nn_conv():
+    """End-to-end against jax's native conv (not just the XLA packed path):
+    zeros padding, C=16 -> Co=16."""
+    B, H, W, C, Co = 1, 16, 128, 16, 16
+    P = 128 // Co
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, C, Co).astype(np.float32) * 0.1)
+    out = fc._conv3x3_pallas_cvjp((fc.pack_width(x, P),), w, None, (C,),
+                                  "zeros")
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(fc.unpack_width(out, Co)),
+                               np.asarray(ref), atol=1e-4, rtol=1e-5)
+
+
+def test_pallas_conv_odd_height():
+    """H not divisible by the default group: _group degrades, kernel stays
+    exact (H=12 -> G=4)."""
+    B, H, W, C, Co = 1, 12, 128, 16, 16
+    P = 128 // Co
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, C, Co).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(Co).astype(np.float32) * 0.1)
+    xp = fc.pack_width(x, P)
+    _compare(
+        lambda xp_, w_, b_: fc._conv3x3_forward([xp_], [C], w_, b_,
+                                                "replicate"),
+        lambda xp_, w_, b_: fc._conv3x3_pallas_cvjp((xp_,), w_, b_, (C,),
+                                                    "replicate"),
+        (xp, w, b))
