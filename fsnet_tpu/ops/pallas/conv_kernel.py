@@ -192,7 +192,11 @@ def conv3x3_fused_mats(xpad: jnp.ndarray, mats: jnp.ndarray, brow,
             num_scalar_prefetch=0,
             grid=(B, H // G),
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),          # xpad (HBM)
+                # Pin HBM: ANY lets the compiler place small xpads in VMEM,
+                # where the dynamic row-window slice hits a Mosaic internal
+                # error (padded-sublane memref_slice); the kernel's DMA
+                # pattern requires an off-chip source anyway.
+                pl.BlockSpec(memory_space=pltpu.HBM),          # xpad (HBM)
                 pl.BlockSpec((_NM, PC, PCo), lambda n, h: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, PCo), lambda n, h: (0, 0),
@@ -267,7 +271,7 @@ def conv3x3_fused_dw(xpad: jnp.ndarray, g: jnp.ndarray,
             num_scalar_prefetch=0,
             grid=(B, H // G),
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.HBM),
                 pl.BlockSpec((1, G, NB, PCo), lambda n, h: (n, h, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
@@ -294,8 +298,12 @@ def _group(group: int, H: int, NB: int, PCmax: int, itemsize: int) -> int:
 
 
 def conv_kernel_supported(NB: int, PC: int, PCo: int, dtype) -> bool:
-    """Lane-tileable shapes only; NB must be a whole sublane tile."""
+    """Lane-tileable shapes only. NB must be a whole number of 8-sublane
+    tiles: an unaligned NB gets sublane-padded in the HBM memref and the
+    row-window DMA cannot slice the logical extent (Mosaic: "Slice shape
+    along dimension 2 must be aligned to tiling (8)"); e.g. the coarse-scale
+    dispconvs (Co=16 -> P=8, W=160/80 -> NB=20/10) fall back to XLA."""
     return (PC % _LANE == 0 and PCo % _LANE == 0
             and jnp.dtype(dtype) in (jnp.dtype(jnp.float32),
                                      jnp.dtype(jnp.bfloat16))
-            and NB >= 8)
+            and NB >= 8 and NB % 8 == 0)

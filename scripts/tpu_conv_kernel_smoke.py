@@ -59,4 +59,17 @@ for dt, tol in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
           "zeros", dt, (4,))
     check(f"i1 conv1 (32+64)->32 @96x320 repl {tol}", 4, 96, 320, (32, 64),
           32, "replicate", dt, (4, 1))
+    # Dispconv-class shape (Co=16 -> P=8, PC=512) with NB=192/8=24 aligned:
+    # same physical kernel shape as the scale-2 dispconv crash memref
+    # (12x50x24x512) but with the logical NB a whole sublane tile.
+    check(f"dispconv-class 64->16 @48x192 repl {tol}", 12, 48, 192, (64,),
+          16, "replicate", dt, (2,))
+
+# The real scale-2/3 dispconvs (W=160/80, Co=16 -> NB=20/10) must be gated
+# OFF: unaligned NB sublane-pads the HBM memref and the row DMA cannot
+# slice it (Mosaic alignment error).
+for W_bad in (160, 80):
+    part = jnp.zeros((12, 48, W_bad // 2, 128), jnp.bfloat16)
+    assert not fc._pallas_conv_supported([part], [64], 16), W_bad
+print("gate: unaligned-NB dispconvs fall back to XLA", flush=True)
 print("OK", flush=True)
