@@ -85,6 +85,23 @@ DYN_WS = _os_dynws.environ.get("FSNET_DYN_WS", "1") != "0"
 #: per tile cost real issue slots (BASELINE.md negative results).
 FOLD_WIN = _os_dynws.environ.get("FSNET_FOLD_WIN", "0") != "0"
 
+#: A/B toggle: under border padding ship a 4-row fpack (no mask rows) to the
+#: fused kernels and skip the mask reads+multiplies in-kernel. Exact: the
+#: general path multiplies by all-ones there. ``FSNET_BORDER_FAST=0``
+#: restores the 8-row fpack.
+BORDER_FAST = _os_dynws.environ.get("FSNET_BORDER_FAST", "1") != "0"
+
+#: A/B toggle (DMA kernels): gather each corner from the whole 3-tile window
+#: in ONE multi-granule dynamic_gather over the contiguous scratch slice
+#: ``scr[.., ws:ws+3]`` (one compare + one multiply + a 2-add fold select the
+#: right tile), instead of one gather+compare+multiply+add per window tile.
+#: Same gather volume, ~1/3 the VPU issue slots in the corner region. Needs
+#: the scratch band padded to a whole number of 8-sublane granules (KL 12 ->
+#: 16 for the packed RGB band: +33% band DMA traffic) so the window slice
+#: reshapes to [kw*KLF, L] as a pure view; the pad rows carry y-indices the
+#: weight field never selects, so they are numerically inert.
+STACK_WIN = _os_dynws.environ.get("FSNET_STACK_WIN", "0") != "0"
+
 
 def _gather_corners(ipack_ref, src_of, g, u, T, KL, L):
     """Shared corner gathers: one single-tile dynamic_gather per
@@ -108,6 +125,26 @@ def _gather_corners(ipack_ref, src_of, g, u, T, KL, L):
         g0 = gth0 if g0 is None else g0 + gth0
         g1 = gth1 if g1 is None else g1 + gth1
     return g0, g1
+
+
+def _gather_corners_win(ipack_ref, win, g, u, kw, KLF, KL, L):
+    """STACK_WIN corner gathers: ``win`` is the whole kw-tile window
+    [kw*KLF, L] (contiguous scratch slice); one multi-granule gather per
+    corner, tile selection via a single block-id compare, window fold as a
+    kw-way sublane-block sum. Returns (g0, g1) [KL, L] (pad rows dropped)."""
+    R = kw * KLF
+    x0r = jnp.broadcast_to(ipack_ref[0, g, u, 0:1, :], (R, L))
+    x0t = jnp.broadcast_to(ipack_ref[0, g, u, 1:2, :], (R, L))
+    x1r = jnp.broadcast_to(ipack_ref[0, g, u, 2:3, :], (R, L))
+    x1t = jnp.broadcast_to(ipack_ref[0, g, u, 3:4, :], (R, L))
+    blk = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0) // KLF
+    s0 = jnp.take_along_axis(win, x0r, axis=1) * (blk == x0t).astype(
+        win.dtype)
+    s1 = jnp.take_along_axis(win, x1r, axis=1) * (blk == x1t).astype(
+        win.dtype)
+    g0 = jnp.sum(s0.reshape(kw, KLF, L), axis=0)
+    g1 = jnp.sum(s1.reshape(kw, KLF, L), axis=0)
+    return g0[0:KL], g1[0:KL]
 
 
 def _gather_corners_fold(ipack_ref, fpack_ref, src_of, g, u, T, KL, L,
@@ -169,10 +206,13 @@ def _make_ipack(iw: dict, W: int, L: int):
 
 
 def _fwd_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L, packed,
-              fold=False):
+              fold=False, win=None, KLF=None):
     """One output lane tile of the forward warp -> [C, L]."""
     KL = band * C
-    if fold:
+    if win is not None:
+        g0, g1 = _gather_corners_win(ipack_ref, win, g, u, min(_WINDOW, T),
+                                     KLF, KL, L)
+    elif fold:
         g0, g1 = _gather_corners_fold(ipack_ref, fpack_ref, src_of, g, u, T,
                                       KL, L, frow0=4)
     else:
@@ -200,7 +240,7 @@ def _fwd_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L, packed,
 
 
 def _fused_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L,
-                packed, fold=False):
+                packed, fold=False, border=False, win=None, KLF=None):
     """Forward AND both difference passes for one output lane tile ->
     (out, va, vb) each [C, L], sharing one set of corner gathers.
 
@@ -217,9 +257,19 @@ def _fused_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L,
     (wx0, wx1, wy0, wy1, q00, q01, q02, q10, q11, q12): the window one-hots
     carry the x-validity masks (so ``b = g1 - g0`` directly) and invalid-y
     corners arrive with an out-of-range ``d`` sentinel (so ``wq`` needs no
-    my* multiplies)."""
+    my* multiplies).
+
+    Under ``border`` the fpack rows are just (wx0, wx1, wy0, wy1): border
+    padding clamps indices instead of masking, so every m* is one — the
+    mask rows and their multiplies drop out (``b = g1 - g0``,
+    ``wq = is1 - is0``), exactly the general path evaluated at m*=1."""
     KL = band * C
-    if fold:
+    if win is not None and not fold:
+        # (fold carries x-validity in its fpack one-hots, which the stacked
+        # gather's pure ipack compares would drop — mutually exclusive)
+        g0, g1 = _gather_corners_win(ipack_ref, win, g, u, min(_WINDOW, T),
+                                     KLF, KL, L)
+    elif fold:
         g0, g1 = _gather_corners_fold(ipack_ref, fpack_ref, src_of, g, u, T,
                                       KL, L, frow0=4)
     else:
@@ -229,7 +279,8 @@ def _fused_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L,
     wx1 = fpack_ref[0, g, u, 1:2, :]
     wy0 = fpack_ref[0, g, u, 2:3, :]
     wy1 = fpack_ref[0, g, u, 3:4, :]
-    if not fold:
+    unmasked = fold or border
+    if not unmasked:
         mx0 = fpack_ref[0, g, u, 4:5, :]
         mx1 = fpack_ref[0, g, u, 5:6, :]
         my0 = fpack_ref[0, g, u, 6:7, :]
@@ -245,7 +296,7 @@ def _fused_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L,
         isl0, isl1 = dh + 1 == d0, dh + 1 == d1
         wv_h = ish0 * wy0 + ish1 * wy1
         wv_l = isl0 * wy0 + isl1 * wy1
-        if fold:
+        if unmasked:
             wq_h = ish1.astype(wy0.dtype) - ish0.astype(wy0.dtype)
             wq_l = isl1.astype(wy0.dtype) - isl0.astype(wy0.dtype)
             b_h = g1h - g0h
@@ -263,7 +314,7 @@ def _fused_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L,
     else:
         is0, is1 = dp == d0, dp == d1
         wv = is0 * wy0 + is1 * wy1
-        if fold:
+        if unmasked:
             wq = is1.astype(wy0.dtype) - is0.astype(wy0.dtype)
             va = (g1 - g0) * wv
         else:
@@ -280,7 +331,8 @@ def _fused_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L,
 
 
 def _kernel_fused(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, va_ref,
-                  vb_ref, *, G, T, band, C, L, packed, Ho, fold=False):
+                  vb_ref, *, G, T, band, C, L, packed, Ho, fold=False,
+                  border=False):
     """Fused fwd+vjp kernel; three whole-block outputs (out, va, vb) —
     partial sublane-slice stores at non-vreg-aligned offsets wedge the
     Mosaic compile, so each result gets its own ref."""
@@ -291,7 +343,8 @@ def _kernel_fused(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, va_ref,
             ws = ws_ref[(n * Ho + h * G + g) * T + u]
             o, va, vb = _fused_tile(
                 ipack_ref, fpack_ref, lambda t: band_ref[0, g, ws + t], g, u,
-                T=T, band=band, C=C, L=L, packed=packed, fold=fold)
+                T=T, band=band, C=C, L=L, packed=packed, fold=fold,
+                border=border)
             out_ref[0, g, u] = o
             va_ref[0, g, u] = va
             vb_ref[0, g, u] = vb
@@ -299,17 +352,23 @@ def _kernel_fused(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, va_ref,
 
 def _kernel_dma_fused(ymin_ref, ws_ref, ipack_ref, fpack_ref, img_ref,
                       out_ref, va_ref, vb_ref, scr, sems, *, G, T, band, C,
-                      L, packed, NI, Ho, fold=False):
+                      L, packed, NI, Ho, fold=False, border=False,
+                      stack=False):
     """Fused fwd+vjp kernel with the band row-gather as double-buffered DMA
     (see :func:`_kernel_dma`)."""
+    KLF = scr.shape[3]
+    kw = min(_WINDOW, T)
     slot, n, h = _dma_prologue(ymin_ref, img_ref, scr, sems, G=G, NI=NI)
     for g in range(G):
         _band_dma(ymin_ref, img_ref, scr, sems, slot, n, h, g, G, NI).wait()
         for u in range(T):
             ws = ws_ref[(n * Ho + h * G + g) * T + u]
+            win = (scr[slot, g, pl.ds(ws, kw)].reshape(kw * KLF, L)
+                   if stack else None)
             o, va, vb = _fused_tile(
                 ipack_ref, fpack_ref, lambda t: scr[slot, g, ws + t], g, u,
-                T=T, band=band, C=C, L=L, packed=packed, fold=fold)
+                T=T, band=band, C=C, L=L, packed=packed, fold=fold,
+                border=border, win=win, KLF=KLF)
             out_ref[0, g, u] = o
             va_ref[0, g, u] = va
             vb_ref[0, g, u] = vb
@@ -439,18 +498,24 @@ def _dma_prologue(ymin_ref, img_ref, scr, sems, *, G, NI):
 
 
 def _kernel_dma(ymin_ref, ws_ref, ipack_ref, fpack_ref, img_ref, out_ref,
-                scr, sems, *, G, T, band, C, L, packed, NI, Ho, fold=False):
+                scr, sems, *, G, T, band, C, L, packed, NI, Ho, fold=False,
+                stack=False):
     """Forward kernel with the band row-gather fused in as double-buffered
     DMA from the HBM image (no [B, Ho, band*C, W] materialization in HBM).
     Blocks as :func:`_kernel` except the band comes from ``scr``."""
+    KLF = scr.shape[3]
+    kw = min(_WINDOW, T)
     slot, n, h = _dma_prologue(ymin_ref, img_ref, scr, sems, G=G, NI=NI)
     for g in range(G):
         _band_dma(ymin_ref, img_ref, scr, sems, slot, n, h, g, G, NI).wait()
         for u in range(T):
             ws = ws_ref[(n * Ho + h * G + g) * T + u]
+            win = (scr[slot, g, pl.ds(ws, kw)].reshape(kw * KLF, L)
+                   if stack else None)
             out_ref[0, g, u] = _fwd_tile(
                 ipack_ref, fpack_ref, lambda t: scr[slot, g, ws + t], g, u,
-                T=T, band=band, C=C, L=L, packed=packed, fold=fold)
+                T=T, band=band, C=C, L=L, packed=packed, fold=fold,
+                win=win, KLF=KLF)
 
 
 def _kernel_dma_bwd(ymin_ref, ws_ref, ipack_ref, fpack_ref, gcot_ref,
@@ -498,14 +563,16 @@ def warp_rows_pallas_dma(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
     B, Ho = ymin_rows.shape
     assert B % NI == 0, (B, NI)
     KL = band * C
-    G = _dma_group(group, Ho, T, KL, L, img_tiled.dtype.itemsize)
+    img_tiled, KLF, stack = _stack_pad(img_tiled, KL)
+    G = _dma_group(group, Ho, T, KLF, L, img_tiled.dtype.itemsize)
 
     ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
     fpack_tiled = _tile_w(fpack.astype(img_tiled.dtype), T, L)
     F = fpack_tiled.shape[3]
 
     kernel = functools.partial(_kernel_dma, G=G, T=T, band=band, C=C, L=L,
-                               packed=packed, NI=NI, Ho=Ho, fold=F > 4)
+                               packed=packed, NI=NI, Ho=Ho, fold=F > 4,
+                               stack=stack)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Ho // G),
@@ -520,7 +587,7 @@ def warp_rows_pallas_dma(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
                                lambda n, h, *_: (n, h, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, G, T, KL, L), img_tiled.dtype),
+            pltpu.VMEM((2, G, T, KLF, L), img_tiled.dtype),
             pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
@@ -596,6 +663,21 @@ def _tile_w(x: jnp.ndarray, T: int, L: int) -> jnp.ndarray:
     return jnp.moveaxis(x.reshape(B, Ho, K, T, L), 3, 2)
 
 
+def _stack_pad(img_tiled: jnp.ndarray, KL: int):
+    """(img_tiled', KLF, stack): under :data:`STACK_WIN`, round the scratch
+    band up to whole 8-sublane granules (so the kw-tile window slice reshapes
+    to [kw*KLF, L] as a pure view) and zero-pad the tiled image's sublane
+    axis by the difference so every band DMA stays in range. The pad rows
+    carry y-indices the weight field never selects (d0/d1 < band) — inert."""
+    if not STACK_WIN:
+        return img_tiled, KL, False
+    KLF = -(-KL // 8) * 8
+    if KLF > KL:
+        img_tiled = jnp.pad(
+            img_tiled, ((0, 0), (0, 0), (0, KLF - KL), (0, 0)))
+    return img_tiled, KLF, True
+
+
 def _dma_group(group: int, Ho: int, T: int, KL: int, L: int,
                itemsize: int) -> int:
     """Rows per grid block for the DMA kernels: must divide Ho AND keep the
@@ -636,7 +718,8 @@ def warp_rows_pallas_fused(bands_cw: jnp.ndarray, ws: jnp.ndarray,
     F = fpack_tiled.shape[3]
 
     kernel = functools.partial(_kernel_fused, G=G, T=T, band=band, C=C, L=L,
-                               packed=packed, Ho=Ho, fold=F > 8)
+                               packed=packed, Ho=Ho, fold=F > 8,
+                               border=F == 4)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Ho // G),
@@ -672,14 +755,16 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
     B, Ho = ymin_rows.shape
     assert B % NI == 0, (B, NI)
     KL = band * C
-    G = _dma_group(group, Ho, T, KL, L, img_tiled.dtype.itemsize)
+    img_tiled, KLF, stack = _stack_pad(img_tiled, KL)
+    G = _dma_group(group, Ho, T, KLF, L, img_tiled.dtype.itemsize)
 
     ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
     fpack_tiled = _tile_w(fpack8.astype(img_tiled.dtype), T, L)
     F = fpack_tiled.shape[3]
 
     kernel = functools.partial(_kernel_dma_fused, G=G, T=T, band=band, C=C,
-                               L=L, packed=packed, NI=NI, Ho=Ho, fold=F > 8)
+                               L=L, packed=packed, NI=NI, Ho=Ho, fold=F > 8,
+                               border=F == 4, stack=stack)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Ho // G),
@@ -694,7 +779,7 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
                                 lambda n, h, *_: (n, h, 0, 0, 0),
                                 memory_space=pltpu.VMEM)] * 3,
         scratch_shapes=[
-            pltpu.VMEM((2, G, T, KL, L), img_tiled.dtype),
+            pltpu.VMEM((2, G, T, KLF, L), img_tiled.dtype),
             pltpu.SemaphoreType.DMA((2, G)),
         ],
     )
@@ -921,17 +1006,23 @@ def grid_sample_band_pallas(image: jnp.ndarray, iw: dict, band: int,
 
 def grid_sample_band_pallas_fused(image: jnp.ndarray, iw: dict, band: int,
                                   wx0, wx1, wy0, wy1, mx0, mx1, my0, my1,
-                                  group: int = 16, dma: bool | None = None):
+                                  group: int = 16, dma: bool | None = None,
+                                  border: bool = False):
     """Fused forward + VJP band warp: ONE kernel pass returning
     (out, va, vb) NHWC where va = d out/d fx and vb = d out/d fy (the two
     difference passes the backward kernel would otherwise re-derive with its
     own gathers and DMAs). ``m*`` are zeros-padding corner validity masks
-    (pass ones for border padding)."""
+    (pass ones for border padding). When the caller knows the masks are all
+    ones it should pass ``border=True``: the 4 mask rows drop from fpack
+    (halving its HBM traffic) and the kernels skip their reads+multiplies —
+    identical math, evaluated at m*=1."""
     B, H, W, C = image.shape
     f32 = jnp.float32
     L = W if W <= _LANE else _LANE
     ipack, ws = _make_ipack(iw, W, L)
-    if FOLD_WIN:
+    if border and BORDER_FAST and not FOLD_WIN:
+        fpack8 = jnp.stack([wx0, wx1, wy0, wy1], axis=2).astype(f32)
+    elif FOLD_WIN:
         # Window one-hots carry the x-validity masks; invalid-y corners are
         # routed to the out-of-range band sentinel so my* never enters the
         # kernel. See _fused_tile(fold=True).

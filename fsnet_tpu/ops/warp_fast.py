@@ -237,7 +237,7 @@ def _fwd(image, grid, mode, padding_mode, align_corners, band,
         mx0, mx1, my0, my1 = _padding_masks(iw, padding_mode, jnp.float32)
         out, va, vb = grid_sample_band_pallas_fused(
             image, iw, band, iw["wx0"], iw["wx1"], iw["wy0"], iw["wy1"],
-            mx0, mx1, my0, my1)
+            mx0, mx1, my0, my1, border=padding_mode == "border")
         return out.astype(image.dtype), (image, grid,
                                          va.astype(image.dtype),
                                          vb.astype(image.dtype))

@@ -52,12 +52,19 @@ import fsnet_tpu.ops.fast_conv as fc
 import fsnet_tpu.ops.pallas.warp_kernel as wk
 import fsnet_tpu.ops.warp_fast as wf
 
-VARIANTS = [
-    ("pallas conv (default)", dict(pallas=True)),
-    ("XLA one-matmul planes", dict(pallas=False)),
-    ("XLA summul (3-matmul dy sum)", dict(pallas=False, summul=True)),
-    ("pallas conv again (drift check)", dict(pallas=True)),
-]
+VARIANT_SETS = {
+    "border": [
+        ("border-fast fpack4 (default)", dict(borderfast=True)),
+        ("fpack8 all-ones masks", dict(borderfast=False)),
+        ("border-fast again (drift check)", dict(borderfast=True)),
+    ],
+    "stack": [
+        ("stacked-window gather", dict(stackwin=True)),
+        ("per-tile gathers (default)", dict(stackwin=False)),
+        ("stacked-window again (drift check)", dict(stackwin=True)),
+    ],
+}
+VARIANTS = VARIANT_SETS[os.environ.get("FSNET_AB_SET", "border")]
 
 for tag, cfg in VARIANTS:
     fc.PALLAS_CONV = cfg.get("pallas", True)
@@ -66,4 +73,6 @@ for tag, cfg in VARIANTS:
     wk.DYN_WS = cfg.get("dynws", True)
     wf.FUSED_VJP = cfg.get("fused", True)
     wk.FOLD_WIN = cfg.get("fold", False)
+    wk.BORDER_FAST = cfg.get("borderfast", True)
+    wk.STACK_WIN = cfg.get("stackwin", False)
     timed(tag)

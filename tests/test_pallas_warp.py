@@ -146,11 +146,14 @@ def test_pallas_warp_group_fallback():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
-def test_pallas_fused_fwd_vjp_kernel(padding_mode):
+@pytest.mark.parametrize("padding_mode,border_fast", [
+    ("border", False), ("border", True), ("zeros", False)])
+def test_pallas_fused_fwd_vjp_kernel(padding_mode, border_fast):
     """The fused fwd+vjp kernel's (out, va, vb) must equal the forward
     dispatch run three times with the corresponding corner weights (the
-    exact contract the two-pass backward relied on)."""
+    exact contract the two-pass backward relied on). ``border_fast``
+    exercises the 4-row fpack specialization (mask rows elided) against the
+    same oracles."""
     import fsnet_tpu.ops.warp_fast as wf
 
     N, H, W, C = 2, 16, 256, 3
@@ -164,7 +167,7 @@ def test_pallas_fused_fwd_vjp_kernel(padding_mode):
 
     out, va, vb = wk.grid_sample_band_pallas_fused(
         img, iw, BAND, iw["wx0"], iw["wx1"], iw["wy0"], iw["wy1"],
-        mx0, mx1, my0, my1)
+        mx0, mx1, my0, my1, border=border_fast)
 
     ref_out = wk.grid_sample_band_pallas(img, iw, BAND, iw["wx0"], iw["wx1"],
                                          iw["wy0"], iw["wy1"])
@@ -176,3 +179,39 @@ def test_pallas_fused_fwd_vjp_kernel(padding_mode):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(va), np.asarray(ref_va), atol=1e-6)
     np.testing.assert_allclose(np.asarray(vb), np.asarray(ref_vb), atol=1e-6)
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_pallas_stacked_window_gather(monkeypatch, packed):
+    """FSNET_STACK_WIN: the one-gather-per-corner windowed formulation (DMA
+    kernels, granule-padded scratch) must match the per-tile gather path
+    exactly — fwd, fused (out, va, vb), bf16-packed and f32, W=640 so the
+    dynamic 3-tile window is active."""
+    import fsnet_tpu.ops.warp_fast as wf
+
+    N, H, W, C = 2, 16, 640, 3
+    BAND = 8
+    rng = np.random.RandomState(11)
+    img = jnp.asarray(rng.rand(N, H, W, C).astype(np.float32))
+    if packed:
+        img = img.astype(jnp.bfloat16)
+    grid = jnp.asarray((rng.rand(N, H, W, 2) * 1.8 - 0.9).astype(np.float32))
+    iw = _indices_and_weights(img.shape, grid, "bilinear", "border", True,
+                              BAND)
+    mx0, mx1, my0, my1 = wf._padding_masks(iw, "border", jnp.float32)
+    fargs = (iw, BAND, iw["wx0"], iw["wx1"], iw["wy0"], iw["wy1"])
+
+    monkeypatch.setattr(wk, "STACK_WIN", False)
+    ref_fwd = wk.grid_sample_band_pallas(img, *fargs)
+    ref_f = wk.grid_sample_band_pallas_fused(
+        img, *fargs, mx0, mx1, my0, my1, border=True)
+
+    monkeypatch.setattr(wk, "STACK_WIN", True)
+    out_fwd = wk.grid_sample_band_pallas(img, *fargs)
+    out_f = wk.grid_sample_band_pallas_fused(
+        img, *fargs, mx0, mx1, my0, my1, border=True)
+
+    np.testing.assert_allclose(np.asarray(out_fwd), np.asarray(ref_fwd),
+                               atol=1e-6)
+    for a, b in zip(out_f, ref_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
