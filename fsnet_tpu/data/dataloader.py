@@ -114,51 +114,70 @@ class Dataloader:
 
         index_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * self.batch_size)
 
+        def q_put(q, item):
+            """Blocking put that aborts when the consumer stopped (threads
+            otherwise block forever on a full queue and die only at abrupt
+            daemon teardown — observed as cv2's terminate() on exit)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def q_get(q):
+            while not stop.is_set():
+                try:
+                    return q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+            return SENTINEL
+
         def feeder():
             try:
                 for batch_no, idxs in enumerate(self._index_batches()):
                     for pos, i in enumerate(idxs):
-                        if stop.is_set():
+                        if not q_put(index_q, (batch_no, pos, i)):
                             return
-                        index_q.put((batch_no, pos, i))
-                index_q.put(SENTINEL)
+                q_put(index_q, SENTINEL)
             except Exception:  # pragma: no cover
-                index_q.put(SENTINEL)
+                q_put(index_q, SENTINEL)
 
         def worker():
             while not stop.is_set():
-                item = index_q.get()
+                item = q_get(index_q)
                 if item is SENTINEL:
-                    index_q.put(SENTINEL)  # propagate to other workers
-                    sample_q.put(SENTINEL)
+                    q_put(index_q, SENTINEL)  # propagate to other workers
+                    q_put(sample_q, SENTINEL)
                     return
                 batch_no, pos, i = item
                 try:
-                    sample_q.put((batch_no, pos, self.dataset[i]))
+                    q_put(sample_q, (batch_no, pos, self.dataset[i]))
                 except Exception as e:  # surface dataset errors to the consumer
-                    sample_q.put((batch_no, pos, e))
+                    q_put(sample_q, (batch_no, pos, e))
 
         def assembler():
             pending: Dict[int, list] = {}
             next_batch = 0
             finished_workers = 0
             while not stop.is_set():
-                item = sample_q.get()
+                item = q_get(sample_q)
                 if item is SENTINEL:
                     finished_workers += 1
-                    if finished_workers == self.num_workers:
-                        batch_q.put(SENTINEL)
+                    if stop.is_set() or finished_workers == self.num_workers:
+                        q_put(batch_q, SENTINEL)
                         return
                     continue
                 batch_no, pos, sample = item
                 if isinstance(sample, Exception):
-                    batch_q.put(sample)
+                    q_put(batch_q, sample)
                     return
                 pending.setdefault(batch_no, [None] * self.batch_size)[pos] = sample
                 while (next_batch in pending
                        and all(s is not None for s in pending[next_batch])):
                     samples = pending.pop(next_batch)
-                    batch_q.put(encode_batch(self.collate(samples)))
+                    q_put(batch_q, encode_batch(self.collate(samples)))
                     next_batch += 1
 
         threads = [threading.Thread(target=feeder, daemon=True)]
@@ -178,6 +197,8 @@ class Dataloader:
                 yield item
         finally:
             stop.set()
+            for t in threads:
+                t.join(timeout=2.0)
 
 
 def build_dataloader(dataset, num_workers: int = 4, batch_size: int = 8,
