@@ -58,7 +58,7 @@ def _literal(value: str):
 
 def main(config: str = "configs/config.py", experiment_name: str = "default",
          world_size: int = 1, local_rank: int = -1,
-         debug_nans: bool = False, **kwargs):
+         debug_nans: bool = False, profile_dir: str = "", **kwargs):
     import jax
     import numpy as np
 
@@ -230,6 +230,12 @@ def main(config: str = "configs/config.py", experiment_name: str = "default",
                     data = next(it)
                 except StopIteration:
                     break
+                # device-level tracing (SURVEY §5: jax.profiler is the
+                # TPU-native analogue of the reference's DEBUGGING-gated
+                # per-phase CUDA timing): trace steps 10-13 of the run,
+                # post-compile, viewable in TensorBoard/Perfetto.
+                if profile_dir and global_step == 10:
+                    jax.profiler.start_trace(profile_dir)
                 state = training_hook(
                     data, state, rng,
                     training_loss_logger=training_loss_logger
@@ -238,6 +244,9 @@ def main(config: str = "configs/config.py", experiment_name: str = "default",
                     else None,
                     global_step=global_step, epoch_num=epoch)
                 global_step += 1
+                if profile_dir and global_step == 14:
+                    jax.profiler.stop_trace()
+                    print(f"\nprofiler trace (steps 10-13) -> {profile_dir}")
 
                 if is_logging and global_step % disp_iter == 0:
                     if training_loss_logger is not None:
@@ -275,8 +284,12 @@ if __name__ == "__main__":
     parser.add_argument("--debug_nans", action="store_true",
                         help="raise at the first op producing NaN/Inf "
                              "(jax_debug_nans); also enabled by DEBUGGING=1")
+    parser.add_argument("--profile_dir", default="",
+                        help="write a jax.profiler device trace of steps "
+                             "10-13 to this directory")
     args, unknown = parser.parse_known_args()
     overrides = parse_overrides(unknown)
     main(config=args.config, experiment_name=args.experiment_name,
          world_size=args.world_size, local_rank=args.local_rank,
-         debug_nans=args.debug_nans, **overrides)
+         debug_nans=args.debug_nans, profile_dir=args.profile_dir,
+         **overrides)
