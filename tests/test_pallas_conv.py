@@ -114,3 +114,19 @@ def test_pallas_conv_odd_height():
         lambda xp_, w_, b_: fc._conv3x3_pallas_cvjp((xp_,), w_, b_, (C,),
                                                     "replicate"),
         (xp, w, b))
+
+
+def test_conv_kernel_gate_requires_aligned_nb():
+    """NB must be a whole number of 8-sublane tiles: the scale-2/3 dispconvs
+    (Co=16 -> P=8, W=160/80 -> NB=20/10) sublane-pad the HBM memref so the
+    row-window DMA cannot slice it (Mosaic alignment crash, round 2); they
+    must fall back to XLA."""
+    from fsnet_tpu.ops.pallas import conv_kernel as ck
+
+    for dt in (jnp.float32, jnp.bfloat16):
+        assert ck.conv_kernel_supported(24, 512, 128, dt)       # aligned
+        assert not ck.conv_kernel_supported(20, 512, 128, dt)   # W=160 P=8
+        assert not ck.conv_kernel_supported(10, 512, 128, dt)   # W=80  P=8
+        assert not ck.conv_kernel_supported(4, 512, 128, dt)    # too small
+    assert not ck.conv_kernel_supported(24, 512, 128, jnp.float64)
+    assert not ck.conv_kernel_supported(24, 500, 128, jnp.float32)  # lanes
