@@ -27,7 +27,7 @@ WINDOWS = 4  # report the fastest window: axon tunnel hiccups only ever
              # slow a window down, so min time is the true step rate
 
 
-def main() -> None:
+def _measure() -> tuple:
     import jax
     import numpy as np
 
@@ -64,6 +64,26 @@ def main() -> None:
 
     imgs_per_sec = BATCH * MEASURE_STEPS / best
     assert np.isfinite(loss_value)
+    return imgs_per_sec, loss_value
+
+
+def main() -> None:
+    try:
+        imgs_per_sec, _ = _measure()
+    except Exception as e:  # pragma: no cover - hardware-dependent safety net
+        # Newest kernel variants first validated in interpret mode can in
+        # principle hit a Mosaic compile bug only on real hardware; the
+        # driver contract (one JSON line) must survive that. Fall back to
+        # the hardware-proven round-1 paths and re-measure.
+        import sys
+
+        print(f"bench: default config failed ({type(e).__name__}: {e}); "
+              "retrying with conservative kernel toggles", file=sys.stderr)
+        import fsnet_tpu.ops.pallas.warp_kernel as wk
+
+        wk.BORDER_FAST = False
+        wk.STACK_WIN = False
+        imgs_per_sec, _ = _measure()
 
     print(json.dumps({
         "metric": "train_imgs_per_sec_per_chip",
