@@ -189,7 +189,9 @@ def test_pallas_stacked_window_gather(monkeypatch, packed):
     dynamic 3-tile window is active."""
     import fsnet_tpu.ops.warp_fast as wf
 
-    N, H, W, C = 2, 16, 640, 3
+    # W=512 -> T=4 > kw=3 keeps the dynamic window anchor meaningful while
+    # halving interpret-mode cost vs the 640/B2 original
+    N, H, W, C = 1, 16, 512, 3
     BAND = 8
     rng = np.random.RandomState(11)
     img = jnp.asarray(rng.rand(N, H, W, C).astype(np.float32))
