@@ -4,7 +4,7 @@ estimation framework with the capabilities of the FSNet reference
 
 Package layout (mirrors the reference's layer responsibilities, not its code):
 
-- ``fsnet_tpu.utils``      — config & builder DI kernel (reference ``vision_base/utils``)
+- ``fsnet_tpu.utils``      — config & builder DI kernel (ref ``vision_base/utils``)
 - ``fsnet_tpu.ops``        — pure-jnp + Pallas compute kernels (geometry, warping, SSIM,
                              fisheye camera model, deformable conv, metrics)
 - ``fsnet_tpu.models``     — flax.linen backbones / heads / meta-architectures

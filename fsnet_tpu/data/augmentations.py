@@ -223,7 +223,7 @@ class CropRight:
 
 
 class Pad2Shape:
-    """Zero-pad bottom/right to a target shape (reference ``augmentations.py:304-325``)."""
+    """Zero-pad bottom/right to a target shape (ref ``augmentations.py:304-325``)."""
 
     def __init__(self, target_shape, image_keys=("image",), gt_image_keys=(),
                  **kwargs):

@@ -58,7 +58,7 @@ def cam_relative_pose_nusc(T_imu2world_0, T_imu2world_1, T_imu2cam):
 
 
 def get_transformation_matrix(translation, rotation) -> np.ndarray:
-    """translation [x,y,z] + quaternion [w,x,y,z] -> 4x4 (reference ``utils.py:59-66``)."""
+    """translation [x,y,z] + quaternion [w,x,y,z] -> 4x4 (ref ``utils.py:59-66``)."""
     rot = Rotation.from_quat([rotation[1], rotation[2], rotation[3], rotation[0]])
     T = np.eye(4)
     T[0:3, 0:3] = rot.as_matrix()

@@ -40,7 +40,8 @@ def cam_relative_pose_nusc(T_w_a: np.ndarray, T_w_b: np.ndarray,
 
 
 def pose_from_quat_trans(quat_wxyz: np.ndarray, trans: np.ndarray) -> np.ndarray:
-    """(w, x, y, z) quaternion + translation -> 4x4 (reference ``datasets/utils.py:59-66``)."""
+    """(w, x, y, z) quaternion + translation -> 4x4
+    (ref ``datasets/utils.py:59-66``)."""
     T = np.eye(4, dtype=np.float32)
     w, x, y, z = quat_wxyz
     T[0:3, 0:3] = R.from_quat([x, y, z, w]).as_matrix()

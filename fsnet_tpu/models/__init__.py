@@ -26,7 +26,8 @@ from .heads.fisheye_decoder import FishEyeDecoder
 __all__ = [
     "blocks", "blocks_extra", "ResNet", "resnet", "ConvNeXt", "convNext",
     "SwinTransformer", "swinTransformer", "ViT", "vit", "DLA", "dlanet",
-    "DenseNetFeatures", "densenet", "ResnetEncoderMatching", "FishEyeDecoder", "DepthDecoder", "MultiChannelDepthDecoder",
+    "DenseNetFeatures", "densenet", "ResnetEncoderMatching", "FishEyeDecoder",
+    "DepthDecoder", "MultiChannelDepthDecoder",
     "MultiChannelDepthDecoderUncertain", "PoseDecoder", "MonoDepth2Decoder",
     "reprojection_loss", "BaseMetaArch", "DistillWPoseMeta",
     "MonoDepthInference", "MonoDepthMeta", "MonoDepthWPose",

@@ -201,7 +201,8 @@ class ConvBnReLU(nn.Module):
         if packed_C is not None:
             return self._call_packed(x, train, packed_C)
         k = _pair(self.kernel_size)
-        pad = int((k[0] - 1) / 2) * self.dilation if self.padding.lower() == "same" else 0
+        pad = (int((k[0] - 1) / 2) * self.dilation
+               if self.padding.lower() == "same" else 0)
         if pad > 0 and self.padding_mode == "replicate":
             x = pad2d(x, pad, "edge")
             conv_padding: Any = "VALID"

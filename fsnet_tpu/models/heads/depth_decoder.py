@@ -171,7 +171,7 @@ def _get_scale(P2: Optional[jnp.ndarray], base_fx: Optional[float]):
 
 
 class DepthDecoder(nn.Module):
-    """Sigmoid-disparity variant (reference ``DepthDecoder``, ``depth_encoder.py:17-111``)."""
+    """Sigmoid-disparity variant (ref ``DepthDecoder``, ``depth_encoder.py:17-111``)."""
 
     num_ch_enc: Sequence[int] = (64, 64, 128, 256, 512)  # API parity (inferred)
     scales: Sequence[int] = (0, 1, 2, 3)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 
 def disp_to_depth(disp, min_depth: float, max_depth: float):
-    """Sigmoid disparity -> (scaled_disp, depth). Reference ``monodepth_utils.py:8-17``."""
+    """Sigmoid disparity -> (scaled_disp, depth). Ref ``monodepth_utils.py:8-17``."""
     min_disp = 1.0 / max_depth
     max_disp = 1.0 / min_depth
     scaled_disp = min_disp + (max_disp - min_disp) * disp
@@ -77,7 +77,8 @@ def rot_from_axisangle(vec: jnp.ndarray) -> jnp.ndarray:
 
 
 def get_translation_matrix(translation: jnp.ndarray) -> jnp.ndarray:
-    """Translation [B, 3] (or [B, 1, 3]) -> [B, 4, 4] (reference ``monodepth_utils.py:31-44``)."""
+    """Translation [B, 3] (or [B, 1, 3]) -> [B, 4, 4]
+    (ref ``monodepth_utils.py:31-44``)."""
     if translation.ndim == 3:
         translation = translation[:, 0, :]
     B = translation.shape[0]

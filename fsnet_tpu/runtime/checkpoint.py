@@ -61,7 +61,8 @@ def load_models(path: str, state, strict: bool = False):
         opt_state = state.opt_state
         try:
             opt_state = jax.tree.map(
-                lambda a, b: b if getattr(a, "shape", None) == getattr(b, "shape", None) else a,
+                lambda a, b: b
+                if getattr(a, "shape", None) == getattr(b, "shape", None) else a,
                 state.opt_state, restored["opt_state"])
         except Exception:  # noqa: BLE001 - optimizer structure changed
             pass

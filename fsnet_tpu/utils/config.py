@@ -37,7 +37,8 @@ if "easydict" not in sys.modules:
 
 def cfg_from_file(cfg_filename: str) -> EasyDict:
     """Load a python config file that defines a module-level ``cfg`` EasyDict."""
-    assert cfg_filename.endswith(".py"), f"config must be a .py file, got {cfg_filename}"
+    assert cfg_filename.endswith(".py"), \
+        f"config must be a .py file, got {cfg_filename}"
     cfg_filename = os.path.abspath(cfg_filename)
 
     spec = importlib.util.spec_from_file_location(
@@ -68,7 +69,7 @@ def update_dict(obj: dict, key: str, rest_items: list, value):
 
 
 def update_cfg(cfg: EasyDict, **kwargs) -> EasyDict:
-    """Apply dotted-key command-line overrides, e.g. ``update_cfg(cfg, **{'b.c': 3})``."""
+    """Apply dotted-key CLI overrides, e.g. ``update_cfg(cfg, **{'b.c': 3})``."""
     for key, value in kwargs.items():
         key_items = key.split(".")
         cfg = update_dict(cfg, key_items[0], key_items[1:], value)
