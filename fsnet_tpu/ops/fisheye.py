@@ -98,14 +98,21 @@ def _bisection_mirror_np(r0: np.ndarray, xi: float, iters: int = 50,
 
 
 def backtrack_ray_map(H: int, W: int, P: np.ndarray, xi: float, k1: float,
-                      k2: float):
+                      k2: float, ref_compat_xy: bool = False):
     """Full-image inverse projection: pixel grid -> (X, Y, Z, mask), each
     [1, H, W] float32 — X/Y/Z are the per-pixel unit-"norm" ray components so
     that ``point3d = ray * norm_prediction``.
 
-    Replicates reference ``MeiCameraProjection.image2cam`` cache entry
-    construction (``mei_fisheye_utils.py:153-173``) vectorized.
-    """
+    Vectorizes reference ``MeiCameraProjection.image2cam`` cache-entry
+    construction (``mei_fisheye_utils.py:153-173``) with ONE documented
+    deviation: the reference solves the radial backtracking for ``r0`` (used
+    for Z) but never rescales X/Y by ``r0/r1`` — its own docstring step 2
+    ("backtrack the normalized plane coordinates: X = X * r0 / r1") is absent
+    from the code, so its cached rays keep the *distorted*-plane X/Y and its
+    ``cam2image(image2cam(norm))`` round trip is not the identity. We apply
+    the rescale (our round-trip test demands it); ``ref_compat_xy=True``
+    reproduces the reference's behavior bit-for-bit for the torch-oracle
+    parity suite."""
     u0, v0 = float(P[0, 2]), float(P[1, 2])
     gamma1, gamma2 = float(P[0, 0]), float(P[1, 1])
 
@@ -123,8 +130,10 @@ def backtrack_ray_map(H: int, W: int, P: np.ndarray, xi: float, k1: float,
     not_mask = mask == 0
     Z = Z.copy()
     Z[not_mask] = -1.0
-    X = X * r0 / np.maximum(r1, 1e-12)  # undistorted normalized plane coords
-    Y = Y * r0 / np.maximum(r1, 1e-12)
+    if not ref_compat_xy:
+        # undistorted normalized plane coords (see docstring deviation note)
+        X = X * r0 / np.maximum(r1, 1e-12)
+        Y = Y * r0 / np.maximum(r1, 1e-12)
     X[not_mask] = -1.0
     Y[not_mask] = -1.0
     X = X * (Z + xi)
