@@ -405,3 +405,107 @@ def test_full_forward_train_matches_reference(ref_decoder_cls):
     ).transpose(3, 2, 0, 1)
     assert _rel_l2(g_conv1, g_conv1_ref) < 5e-2
     assert _rel_l2(g_disp, g_disp_ref) < 5e-2
+
+
+@pytest.mark.parametrize("unscaled,uncertain", [
+    (False, False), (True, False), (False, True), (True, True)])
+def test_pose_and_distill_losses_match_reference(ref_decoder_cls, unscaled,
+                                                 uncertain):
+    """Oracle parity for the loss branches the shipped distill configs use
+    (reference ``monodepth2_decoder.py:176-203,321-333``): pose L1 against
+    GT relative poses + per-scale distillation (plain / translation-scale-
+    free / uncertainty-weighted), on top of the reprojection loss."""
+    dtype = np.float32
+    P2, images, depths, disps, poses = _fixed_case(dtype)
+    rng = np.random.RandomState(23)
+    teachers = [np.asarray(
+        _smooth_map(rng, B, H >> s, W >> s, 4.0, 45.0)[..., None], dtype)
+        for s in SCALES]
+    uncertains = [np.asarray(
+        _smooth_map(rng, B, H >> s, W >> s, 0.2, 1.5)[..., None], dtype)
+        for s in SCALES]
+    rel_poses = {f: np.asarray(
+        poses[f] + rng.uniform(-0.01, 0.01, poses[f].shape), dtype)
+        for f in FRAMES[1:]}
+
+    kw = dict(pose_loss_weight=0.2, distillation_loss_weight=0.3,
+              is_unscaled_distill=unscaled, is_uncertain_distill=uncertain,
+              overlapped_mask=False, is_log_image=False)
+
+    # --- reference ---
+    RefDecoder = ref_decoder_cls
+    dec = RefDecoder(scales=list(SCALES), height=H, width=W,
+                     frame_ids=list(FRAMES),
+                     depth_decoder_cfg=dict(name="torch.nn.Identity"), **kw)
+    t = lambda x: torch.from_numpy(np.ascontiguousarray(x))  # noqa: E731
+    nchw = lambda x: t(x).permute(0, 3, 1, 2).contiguous()   # noqa: E731
+    inputs = {("original_image", f): nchw(images[f]) for f in FRAMES}
+    inputs["P2"] = t(P2)
+    for f in FRAMES[1:]:
+        inputs[("relative_pose", f)] = t(rel_poses[f])
+    t_depths = [nchw(d).requires_grad_() for d in depths]
+    t_poses = {f: t(poses[f].astype(dtype)).requires_grad_()
+               for f in FRAMES[1:]}
+    outputs = {}
+    for si, s in enumerate(SCALES):
+        outputs[("depth", s, s)] = t_depths[si]
+        outputs[("disp", s)] = nchw(disps[si])
+        outputs[("teacher_depth", s, s)] = nchw(teachers[si])
+        if uncertain:
+            outputs[("uncertain_z", s)] = nchw(uncertains[si])
+    for f in FRAMES[1:]:
+        outputs[("cam_T_cam", f)] = t_poses[f]
+    ref_out = dec.loss(outputs, inputs)
+    ref_out["loss"].backward()
+    ref_loss = float(ref_out["loss"].detach())
+    ref_pose = float(ref_out["loss_dict"]["pose_loss"].detach())
+    ref_dist = {s: float(ref_out["loss_dict"][f"distilation/{s}"].detach())
+                for s in SCALES}
+    ref_dgrads = [d.grad.permute(0, 2, 3, 1).numpy() for d in t_depths]
+    ref_pgrads = {f: t_poses[f].grad.numpy() for f in FRAMES[1:]}
+
+    # --- fsnet_tpu ---
+    from fsnet_tpu.models.heads.monodepth2_decoder import MonoDepth2Decoder
+
+    head = MonoDepth2Decoder(
+        scales=SCALES, height=H, width=W, frame_ids=FRAMES,
+        depth_decoder_cfg=dict(
+            name="fsnet_tpu.models.heads.depth_decoder.MultiChannelDepthDecoder",
+            num_output_channels=4, scales=SCALES,
+            min_depth=0.5, max_depth=100.0),
+        warp_impl="gather", **kw)
+    input_dict = {("original_image", f): jnp.asarray(images[f])
+                  for f in FRAMES}
+    input_dict["P2"] = jnp.asarray(P2)
+    for f in FRAMES[1:]:
+        input_dict[("relative_pose", f)] = jnp.asarray(rel_poses[f])
+
+    def loss_fn(t_depths, t_poses):
+        output_dict = {}
+        for si, s in enumerate(SCALES):
+            output_dict[("depth", s, s)] = t_depths[si]
+            output_dict[("disp", s)] = jnp.asarray(disps[si])
+            output_dict[("teacher_depth", s, s)] = jnp.asarray(teachers[si])
+            if uncertain:
+                output_dict[("uncertain_z", s)] = jnp.asarray(uncertains[si])
+        for f in FRAMES[1:]:
+            output_dict[("cam_T_cam", f)] = t_poses[f]
+        out = head.apply({}, output_dict, dict(input_dict),
+                         method=head.loss, noise_rng=None)
+        return out["loss"], out["loss_dict"]
+
+    (loss, loss_dict), grads = jax.jit(
+        jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+    )([jnp.asarray(d) for d in depths],
+      {f: jnp.asarray(poses[f].astype(dtype)) for f in FRAMES[1:]})
+
+    assert abs(float(loss) - ref_loss) < 1e-5 * max(abs(ref_loss), 1e-3)
+    assert abs(float(loss_dict["pose_loss"]) - ref_pose) < 1e-6
+    for s in SCALES:
+        assert abs(float(loss_dict[f"distilation/{s}"]) - ref_dist[s]) < 1e-5
+    for g_ours, g_ref in zip(grads[0], ref_dgrads):
+        assert _rel_l2(np.asarray(g_ours), g_ref) < 2e-2
+    for f in FRAMES[1:]:
+        # pose grads include the reprojection path: same f32 warp
+        # subgradient noise bound as the main f32 suite (1e-2)
+        assert _rel_l2(np.asarray(grads[1][f]), ref_pgrads[f]) < 1e-2
