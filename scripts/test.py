@@ -41,8 +41,28 @@ def main(config: str, checkpoint: str = "", split: str = "val", **kwargs):
         state, epoch = load_models(checkpoint, state, strict=False)
         print(f"Restored {checkpoint} (epoch {epoch})")
 
-    evaluate_hook = build(**cfg.trainer.evaluate_hook)
-    evaluate_hook(state, dataset, None, 0, 0)
+    if "evaluate_hook" in cfg.trainer:
+        evaluate_hook = build(**cfg.trainer.evaluate_hook)
+        evaluate_hook(state, dataset, None, 0, 0)
+        return state
+
+    # no evaluator configured (e.g. synthetic/dev configs): run jitted
+    # inference over the split and report prediction stats so the script is
+    # still a useful checkpoint smoke (reference test.py always has one)
+    from fsnet_tpu.runtime.state import make_eval_step
+
+    eval_step = make_eval_step()
+    stats = []
+    for i in range(len(dataset)):
+        batch = encode_batch(collate_fn([dataset[i]]))
+        pred = eval_step(state, batch)
+        depth = pred["depth"]
+        stats.append((float(depth.min()), float(depth.mean()),
+                      float(depth.max())))
+    mins, means, maxs = zip(*stats)
+    print(f"predictions over {len(stats)} samples: depth min {min(mins):.3f}"
+          f" mean {sum(means) / len(means):.3f} max {max(maxs):.3f}")
+    return state
 
 
 if __name__ == "__main__":
