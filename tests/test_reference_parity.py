@@ -509,3 +509,49 @@ def test_pose_and_distill_losses_match_reference(ref_decoder_cls, unscaled,
         # pose grads include the reprojection path: same f32 warp
         # subgradient noise bound as the main f32 suite (1e-2)
         assert _rel_l2(np.asarray(grads[1][f]), ref_pgrads[f]) < 1e-2
+
+
+def test_depth_monitor_metrics_match_reference(ref_decoder_cls):
+    """Train-time GT monitor (reference ``monodepth2_decoder.py:130-158``):
+    375x1242 bilinear upsample (align_corners=False), Garg pixel crop,
+    batch-median scaling, 7 de/da metrics."""
+    dtype = np.float32
+    rng = np.random.RandomState(31)
+    pred = np.asarray(
+        _smooth_map(rng, B, H, W, 4.0, 45.0)[..., None], dtype)
+    gt = np.zeros((B, 375, 1242), np.float32)
+    n = 6000
+    for b in range(B):
+        ys = rng.randint(150, 375, n)
+        xs = rng.randint(0, 1242, n)
+        gt[b, ys, xs] = rng.uniform(1.0, 80.0, n)
+
+    dec = ref_decoder_cls(scales=list(SCALES), height=H, width=W,
+                          frame_ids=list(FRAMES),
+                          depth_decoder_cfg=dict(name="torch.nn.Identity"),
+                          is_log_image=False)
+    t = lambda x: torch.from_numpy(np.ascontiguousarray(x))  # noqa: E731
+    ref_losses = {}
+    dec.compute_depth_losses(
+        {"depth_gt": t(gt).unsqueeze(1)},
+        {("depth", 0, 0): t(pred).permute(0, 3, 1, 2).contiguous()},
+        ref_losses)
+
+    from fsnet_tpu.models.heads.monodepth2_decoder import MonoDepth2Decoder
+
+    head = MonoDepth2Decoder(
+        scales=SCALES, height=H, width=W, frame_ids=FRAMES,
+        depth_decoder_cfg=dict(
+            name="fsnet_tpu.models.heads.depth_decoder.MultiChannelDepthDecoder",
+            num_output_channels=4, scales=SCALES,
+            min_depth=0.5, max_depth=100.0),
+        is_log_image=False)
+    ours = head.apply({}, {"depth_gt": jnp.asarray(gt)},
+                      {("depth", 0, 0): jnp.asarray(pred)}, {},
+                      method=head.compute_depth_losses)
+
+    assert set(ref_losses) <= set(map(str, ours)), (ref_losses.keys(),
+                                                    ours.keys())
+    for k, v in ref_losses.items():
+        assert abs(float(ours[k]) - float(v)) < 5e-4 * max(abs(float(v)),
+                                                           1e-2), (k, ours[k], v)
