@@ -555,3 +555,37 @@ def test_depth_monitor_metrics_match_reference(ref_decoder_cls):
     for k, v in ref_losses.items():
         assert abs(float(ours[k]) - float(v)) < 5e-4 * max(abs(float(v)),
                                                            1e-2), (k, ours[k], v)
+
+
+def test_similarity_weight_matches_reference(ref_decoder_cls):
+    """`compute_similarity_weight` (SSIM kernel 13 / padding 6 inter-frame
+    similarity, normalized per image — reference ``:163-175``). NOTE the
+    reference's own `loss` calls this with ONE argument while the method
+    requires two (``:313`` vs ``:163``), so `is_ssim_weight=True` crashes
+    upstream — a dormant bug; ours takes one argument. The math is oracled
+    here by calling the reference method directly."""
+    dtype = np.float32
+    P2, images, depths, disps, poses = _fixed_case(dtype)
+
+    dec = ref_decoder_cls(scales=list(SCALES), height=H, width=W,
+                          frame_ids=list(FRAMES),
+                          depth_decoder_cfg=dict(name="torch.nn.Identity"),
+                          is_log_image=False)
+    t = lambda x: torch.from_numpy(np.ascontiguousarray(x))  # noqa: E731
+    nchw = lambda x: t(x).permute(0, 3, 1, 2).contiguous()   # noqa: E731
+    inputs = {("original_image", f): nchw(images[f]) for f in FRAMES}
+    ref_w = dec.compute_similarity_weight(inputs, {}).numpy()
+
+    from fsnet_tpu.models.heads.monodepth2_decoder import MonoDepth2Decoder
+
+    head = MonoDepth2Decoder(
+        scales=SCALES, height=H, width=W, frame_ids=FRAMES,
+        depth_decoder_cfg=dict(
+            name="fsnet_tpu.models.heads.depth_decoder.MultiChannelDepthDecoder",
+            num_output_channels=4, scales=SCALES,
+            min_depth=0.5, max_depth=100.0),
+        is_log_image=False)
+    ours = head.apply(
+        {}, {("original_image", f): jnp.asarray(images[f]) for f in FRAMES},
+        method=head.compute_similarity_weight)
+    assert _rel_l2(np.asarray(ours), ref_w) < 1e-5
