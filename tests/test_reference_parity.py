@@ -589,3 +589,65 @@ def test_similarity_weight_matches_reference(ref_decoder_cls):
         {}, {("original_image", f): jnp.asarray(images[f]) for f in FRAMES},
         method=head.compute_similarity_weight)
     assert _rel_l2(np.asarray(ours), ref_w) < 1e-5
+
+
+def test_light_compensate_and_residual_flow_match_reference(ref_decoder_cls):
+    """Loss parity with the optional warp-stage branches active
+    (reference ``:92-96`` residual-flow grid offset, ``:103-108`` light
+    compensation ``I*(1+C_t)+B_t``)."""
+    dtype = np.float32
+    P2, images, depths, disps, poses = _fixed_case(dtype)
+    rng = np.random.RandomState(41)
+    flows = {f: rng.uniform(-0.02, 0.02, (B, H, W, 2)).astype(dtype)
+             for f in FRAMES[1:]}
+    cts = {f: rng.uniform(-0.05, 0.05, (B, H, W, 1)).astype(dtype)
+           for f in FRAMES[1:]}
+    bts = {f: rng.uniform(-0.02, 0.02, (B, H, W, 1)).astype(dtype)
+           for f in FRAMES[1:]}
+
+    kw = dict(is_residual_flow=True, is_light_compensate=True,
+              overlapped_mask=False, is_log_image=False)
+    dec = ref_decoder_cls(scales=list(SCALES), height=H, width=W,
+                          frame_ids=list(FRAMES),
+                          depth_decoder_cfg=dict(name="torch.nn.Identity"),
+                          **kw)
+    t = lambda x: torch.from_numpy(np.ascontiguousarray(x))  # noqa: E731
+    nchw = lambda x: t(x).permute(0, 3, 1, 2).contiguous()   # noqa: E731
+    inputs = {("original_image", f): nchw(images[f]) for f in FRAMES}
+    inputs["P2"] = t(P2)
+    outputs = {}
+    for si, s in enumerate(SCALES):
+        outputs[("depth", s, s)] = nchw(depths[si])
+        outputs[("disp", s)] = nchw(disps[si])
+    for f in FRAMES[1:]:
+        outputs[("cam_T_cam", f)] = t(poses[f].astype(dtype))
+        outputs[("residual_flow", f, 0)] = nchw(flows[f])
+        outputs[("light_compensate_ct", f, 0)] = nchw(cts[f])
+        outputs[("light_compensate_bt", f, 0)] = nchw(bts[f])
+    ref_loss = float(dec.loss(outputs, inputs)["loss"].detach())
+
+    from fsnet_tpu.models.heads.monodepth2_decoder import MonoDepth2Decoder
+
+    head = MonoDepth2Decoder(
+        scales=SCALES, height=H, width=W, frame_ids=FRAMES,
+        depth_decoder_cfg=dict(
+            name="fsnet_tpu.models.heads.depth_decoder.MultiChannelDepthDecoder",
+            num_output_channels=4, scales=SCALES,
+            min_depth=0.5, max_depth=100.0),
+        warp_impl="gather", **kw)
+    input_dict = {("original_image", f): jnp.asarray(images[f])
+                  for f in FRAMES}
+    input_dict["P2"] = jnp.asarray(P2)
+    output_dict = {}
+    for si, s in enumerate(SCALES):
+        output_dict[("depth", s, s)] = jnp.asarray(depths[si])
+        output_dict[("disp", s)] = jnp.asarray(disps[si])
+    for f in FRAMES[1:]:
+        output_dict[("cam_T_cam", f)] = jnp.asarray(poses[f].astype(dtype))
+        output_dict[("residual_flow", f, 0)] = jnp.asarray(flows[f])
+        output_dict[("light_compensate_ct", f, 0)] = jnp.asarray(cts[f])
+        output_dict[("light_compensate_bt", f, 0)] = jnp.asarray(bts[f])
+    out = head.apply({}, output_dict, input_dict, method=head.loss,
+                     noise_rng=None)
+    assert abs(float(out["loss"]) - ref_loss) < 2e-5 * max(abs(ref_loss),
+                                                           1e-3)
