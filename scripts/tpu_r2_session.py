@@ -108,4 +108,23 @@ geo.get_smooth_loss = md.get_smooth_loss = zero
 timed("ablate: smoothness -> 0")
 geo.get_smooth_loss, md.get_smooth_loss = orig_sm, orig_md_sm
 
+# --- 5: band-size sweep (perf only; band<8 accuracy needs the convergence
+# probe before any default change — band-4 packed fields fit ONE vreg) ------
+for b in (4, 6):
+    model_b = ge._flagship_model(H, W, warp_band=b)
+    state_b = init_state(model_b, batch, tx, jax.random.PRNGKey(0))
+    step = make_train_step(donate=False, compute_dtype=jnp.bfloat16)
+    state_b, metrics, _ = step(state_b, batch, rng)
+    float(metrics["loss"])
+    best = float("inf")
+    for _ in range(WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            state_b, metrics, _ = step(state_b, batch, rng)
+        loss = float(metrics["loss"])
+        best = min(best, time.perf_counter() - t0)
+    ms = best / STEPS * 1000
+    print(f"band={b:2d}                                  {ms:7.1f} ms/step  "
+          f"{B * 1000 / ms:6.1f} imgs/s loss={loss:.5f}", flush=True)
+
 print("SESSION COMPLETE", flush=True)

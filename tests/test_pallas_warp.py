@@ -217,3 +217,44 @@ def test_pallas_stacked_window_gather(monkeypatch, packed):
                                atol=1e-6)
     for a, b in zip(out_f, ref_f):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_pallas_band4_all_paths():
+    """band=4 (packed KL=6: single-vreg gather operands) must stay exact on
+    every kernel path — fwd f32, fwd bf16-packed, fused (out, va, vb) — vs
+    the exact warp on a smooth in-band grid. Prep for the planned band-4
+    default (BASELINE.md band sweep); kernels take band as data, but KL < 8
+    exercises the sub-granule DMA slice the other tests never hit."""
+    from fsnet_tpu.ops.warp import grid_sample as grid_sample_exact
+    from fsnet_tpu.ops.warp_fast import _padding_masks
+
+    N, H, W, C = 1, 16, 256, 3
+    BAND = 4
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.rand(N, H, W, C).astype(np.float32))
+    ys, xs = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W),
+                         indexing="ij")
+    base = np.stack([xs, ys], -1)[None].astype(np.float32)
+    dx = 0.03 * np.sin(2 * np.pi * xs) * np.cos(np.pi * ys)
+    dy = 0.005 * np.cos(np.pi * xs)
+    grid = jnp.asarray(
+        (base + np.stack([dx, dy], -1)[None]).astype(np.float32))
+    iw = _indices_and_weights(img.shape, grid, "bilinear", "border", True,
+                              BAND)
+    fargs = (iw, BAND, iw["wx0"], iw["wx1"], iw["wy0"], iw["wy1"])
+    ref = grid_sample_exact(img, grid, padding_mode="border",
+                            align_corners=True)
+
+    out = wk.grid_sample_band_pallas(img, *fargs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    out_p = wk.grid_sample_band_pallas(img.astype(jnp.bfloat16), *fargs)
+    out_u = wk.grid_sample_band_pallas(
+        img.astype(jnp.bfloat16).astype(jnp.float32), *fargs)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u),
+                               atol=1e-6)
+
+    mx0, mx1, my0, my1 = _padding_masks(iw, "border", jnp.float32)
+    o, va, vb = wk.grid_sample_band_pallas_fused(
+        img, *fargs, mx0, mx1, my0, my1, border=True)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=1e-5)
