@@ -83,6 +83,7 @@ def main() -> None:
 
         wk.BORDER_FAST = False
         wk.STACK_WIN = False
+        wk.BF16_OUT = False
         imgs_per_sec, _ = _measure()
 
     print(json.dumps({

@@ -91,6 +91,15 @@ FOLD_WIN = _os_dynws.environ.get("FSNET_FOLD_WIN", "0") != "0"
 #: restores the 8-row fpack.
 BORDER_FAST = _os_dynws.environ.get("FSNET_BORDER_FAST", "1") != "0"
 
+#: A/B toggle: when the warp consumer runs bf16 (mixed precision), emit the
+#: kernel outputs (out, and va/vb on the fused path) as bf16 directly from
+#: the store instead of f32-store + XLA cast pass: at the KITTI recipe the
+#: fused pass writes 3 x 442 MB f32 that immediately get cast/transposed to
+#: bf16 — storing bf16 halves those writes and the downstream transpose
+#: reads (~1.3 GB/step less HBM traffic). Exact to within the cast (the
+#: consumers were bf16 anyway). ``FSNET_BF16_OUT=0`` restores f32 stores.
+BF16_OUT = _os_dynws.environ.get("FSNET_BF16_OUT", "1") != "0"
+
 #: A/B toggle (DMA kernels): gather each corner from the whole 3-tile window
 #: in ONE multi-granule dynamic_gather over the contiguous scratch slice
 #: ``scr[.., ws:ws+3]`` (one compare + one multiply + a 2-add fold select the
@@ -345,9 +354,9 @@ def _kernel_fused(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, va_ref,
                 ipack_ref, fpack_ref, lambda t: band_ref[0, g, ws + t], g, u,
                 T=T, band=band, C=C, L=L, packed=packed, fold=fold,
                 border=border)
-            out_ref[0, g, u] = o
-            va_ref[0, g, u] = va
-            vb_ref[0, g, u] = vb
+            out_ref[0, g, u] = o.astype(out_ref.dtype)
+            va_ref[0, g, u] = va.astype(va_ref.dtype)
+            vb_ref[0, g, u] = vb.astype(vb_ref.dtype)
 
 
 def _kernel_dma_fused(ymin_ref, ws_ref, ipack_ref, fpack_ref, img_ref,
@@ -369,9 +378,9 @@ def _kernel_dma_fused(ymin_ref, ws_ref, ipack_ref, fpack_ref, img_ref,
                 ipack_ref, fpack_ref, lambda t: scr[slot, g, ws + t], g, u,
                 T=T, band=band, C=C, L=L, packed=packed, fold=fold,
                 border=border, win=win, KLF=KLF)
-            out_ref[0, g, u] = o
-            va_ref[0, g, u] = va
-            vb_ref[0, g, u] = vb
+            out_ref[0, g, u] = o.astype(out_ref.dtype)
+            va_ref[0, g, u] = va.astype(va_ref.dtype)
+            vb_ref[0, g, u] = vb.astype(vb_ref.dtype)
 
 
 def _kernel(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, *, G, T, band,
@@ -390,7 +399,8 @@ def _kernel(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, *, G, T, band,
             ws = ws_ref[(n * Ho + h * G + g) * T + u]
             out_ref[0, g, u] = _fwd_tile(
                 ipack_ref, fpack_ref, lambda t: band_ref[0, g, ws + t], g, u,
-                T=T, band=band, C=C, L=L, packed=packed, fold=fold)
+                T=T, band=band, C=C, L=L, packed=packed,
+                fold=fold).astype(out_ref.dtype)
 
 
 def _kernel_bwd(ws_ref, ipack_ref, fpack_ref, band_ref, gcot_ref, out_ref, *,
@@ -515,7 +525,7 @@ def _kernel_dma(ymin_ref, ws_ref, ipack_ref, fpack_ref, img_ref, out_ref,
             out_ref[0, g, u] = _fwd_tile(
                 ipack_ref, fpack_ref, lambda t: scr[slot, g, ws + t], g, u,
                 T=T, band=band, C=C, L=L, packed=packed, fold=fold,
-                win=win, KLF=KLF)
+                win=win, KLF=KLF).astype(out_ref.dtype)
 
 
 def _kernel_dma_bwd(ymin_ref, ws_ref, ipack_ref, fpack_ref, gcot_ref,
@@ -573,6 +583,7 @@ def warp_rows_pallas_dma(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
     kernel = functools.partial(_kernel_dma, G=G, T=T, band=band, C=C, L=L,
                                packed=packed, NI=NI, Ho=Ho, fold=F > 4,
                                stack=stack)
+    odt = jnp.bfloat16 if (packed and BF16_OUT) else img_tiled.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Ho // G),
@@ -593,7 +604,7 @@ def warp_rows_pallas_dma(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, Ho, T, C, L), img_tiled.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, T, C, L), odt),
         grid_spec=grid_spec,
         # The 2-slot double-buffering in _dma_prologue is only safe under a
         # sequentially-executed grid: block N+2 reuses block N's scratch slot.
@@ -720,6 +731,7 @@ def warp_rows_pallas_fused(bands_cw: jnp.ndarray, ws: jnp.ndarray,
     kernel = functools.partial(_kernel_fused, G=G, T=T, band=band, C=C, L=L,
                                packed=packed, Ho=Ho, fold=F > 8,
                                border=F == 4)
+    odt = jnp.bfloat16 if (packed and BF16_OUT) else bands_cw.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Ho // G),
@@ -737,8 +749,7 @@ def warp_rows_pallas_fused(bands_cw: jnp.ndarray, ws: jnp.ndarray,
     )
     outs = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((B, Ho, T, C, L),
-                                        bands_cw.dtype)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((B, Ho, T, C, L), odt)] * 3,
         grid_spec=grid_spec,
     )(ws.astype(jnp.int32).reshape(-1), ipack_tiled, fpack_tiled, band_tiled)
     return _split_fused_out(outs, C)
@@ -765,6 +776,7 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
     kernel = functools.partial(_kernel_dma_fused, G=G, T=T, band=band, C=C,
                                L=L, packed=packed, NI=NI, Ho=Ho, fold=F > 8,
                                border=F == 4, stack=stack)
+    odt = jnp.bfloat16 if (packed and BF16_OUT) else img_tiled.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Ho // G),
@@ -785,8 +797,7 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
     )
     outs = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((B, Ho, T, C, L),
-                                        img_tiled.dtype)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((B, Ho, T, C, L), odt)] * 3,
         grid_spec=grid_spec,
         # Sequential grid required by the double-buffered scratch (see fwd).
         compiler_params=pltpu.CompilerParams(
@@ -821,6 +832,7 @@ def warp_rows_pallas(bands_cw: jnp.ndarray, ws: jnp.ndarray,
 
     kernel = functools.partial(_kernel, G=G, T=T, band=band, C=C, L=L,
                                packed=packed, Ho=Ho, fold=F > 4)
+    odt = jnp.bfloat16 if (packed and BF16_OUT) else bands_cw.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Ho // G),
@@ -838,7 +850,7 @@ def warp_rows_pallas(bands_cw: jnp.ndarray, ws: jnp.ndarray,
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, Ho, T, C, L), bands_cw.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, T, C, L), odt),
         grid_spec=grid_spec,
     )(ws.astype(jnp.int32).reshape(-1), ipack_tiled, fpack_tiled,
       band_tiled)

@@ -54,22 +54,24 @@ def timed(tag):
 
 import fsnet_tpu.ops.pallas.warp_kernel as wk
 
-# --- 1+2: border-fast and stacked-window A/B ---------------------------------
+# --- 1+2: border-fast / stacked-window / bf16-out A/B ------------------------
 results = {}
-for tag, bf, sw in [
-    ("fpack8 masks, per-tile (round-1 cfg)", False, False),
-    ("border-fast fpack4", True, False),
-    ("border-fast + stacked-window", True, True),
-    ("stacked-window only", False, True),
-    ("border-fast fpack4 (drift check)", True, False),
+for tag, bf, sw, bo in [
+    ("fpack8 masks, per-tile (round-1 cfg)", False, False, True),
+    ("border-fast fpack4", True, False, True),
+    ("border-fast + stacked-window", True, True, True),
+    ("stacked-window only", False, True, True),
+    ("border-fast, f32 stores (no BF16_OUT)", True, False, False),
+    ("border-fast fpack4 (drift check)", True, False, True),
 ]:
-    wk.BORDER_FAST, wk.STACK_WIN = bf, sw
-    results[(bf, sw)] = min(timed(tag), results.get((bf, sw), float("inf")))
+    wk.BORDER_FAST, wk.STACK_WIN, wk.BF16_OUT = bf, sw, bo
+    results[(bf, sw, bo)] = min(timed(tag),
+                                results.get((bf, sw, bo), float("inf")))
 
 best_cfg = min(results, key=results.get)
-print(f"\nbest toggles: BORDER_FAST={best_cfg[0]} STACK_WIN={best_cfg[1]}",
-      flush=True)
-wk.BORDER_FAST, wk.STACK_WIN = best_cfg
+print(f"\nbest toggles: BORDER_FAST={best_cfg[0]} STACK_WIN={best_cfg[1]} "
+      f"BF16_OUT={best_cfg[2]}", flush=True)
+wk.BORDER_FAST, wk.STACK_WIN, wk.BF16_OUT = best_cfg
 
 # --- 3: headline number with winning toggles ---------------------------------
 ms = timed("WINNER (bench.py-equivalent)")

@@ -87,8 +87,11 @@ def test_pallas_packed_bf16_matches_unpacked():
     args = (iw, BAND, iw["wx0"], iw["wx1"], iw["wy0"], iw["wy1"])
     out_p = wk.grid_sample_band_pallas(img_bf, *args)
     out_u = wk.grid_sample_band_pallas(img_bf.astype(jnp.float32), *args)
-    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u),
-                               atol=1e-6)
+    # the packed path stores bf16 (BF16_OUT): exact == bf16-rounded f32 result
+    assert out_p.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out_p, dtype=np.float32),
+        np.asarray(out_u.astype(jnp.bfloat16), dtype=np.float32), atol=1e-6)
 
     gcot = jnp.asarray(rng.rand(N, H, W, C).astype(np.float32))
     one = jnp.ones_like(iw["wx0"])
@@ -251,8 +254,9 @@ def test_pallas_band4_all_paths():
     out_p = wk.grid_sample_band_pallas(img.astype(jnp.bfloat16), *fargs)
     out_u = wk.grid_sample_band_pallas(
         img.astype(jnp.bfloat16).astype(jnp.float32), *fargs)
-    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u),
-                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_p, dtype=np.float32),
+        np.asarray(out_u.astype(jnp.bfloat16), dtype=np.float32), atol=1e-6)
 
     mx0, mx1, my0, my1 = _padding_masks(iw, "border", jnp.float32)
     o, va, vb = wk.grid_sample_band_pallas_fused(
