@@ -27,7 +27,7 @@ import flax.linen as nn
 
 from ...ops.geometry import get_smooth_loss, invert_K, make_K44, reproject
 from ...ops.metrics import compute_depth_errors_masked
-from ...ops.ssim import ssim as ssim_fn
+from ...ops.ssim import ssim as ssim_fn, ssim_target_stats
 from ...ops.warp import _unnormalize
 from ...ops.warp_fast import grid_sample, scale_batched_warp_is_fused
 from ...utils.builder import build
@@ -35,11 +35,15 @@ from ..blocks import adaptive_avg_pool2d, interpolate_bilinear
 
 
 def reprojection_loss(pred: jnp.ndarray, target: jnp.ndarray,
-                      ssim_weight: float = 0.85) -> jnp.ndarray:
+                      ssim_weight: float = 0.85,
+                      target_stats=None) -> jnp.ndarray:
     """0.85*SSIM + 0.15*L1, mean over channels -> [..., H, W, 1]
-    (reference ``compute_reprojection_loss``, ``monodepth2_decoder.py:118-128``)."""
+    (reference ``compute_reprojection_loss``, ``monodepth2_decoder.py:118-128``).
+    ``target_stats``: precomputed :func:`ssim_target_stats` of ``target``
+    (shape-matched) — skips re-pooling the target per comparison."""
     l1 = jnp.mean(jnp.abs(target - pred), axis=-1, keepdims=True)
-    s = jnp.mean(ssim_fn(pred, target), axis=-1, keepdims=True)
+    s = jnp.mean(ssim_fn(pred, target, y_stats=target_stats), axis=-1,
+                 keepdims=True)
     return ssim_weight * s + (1.0 - ssim_weight) * l1
 
 
@@ -268,11 +272,19 @@ class MonoDepth2Decoder(nn.Module):
         target = input_dict[("original_image", 0)]  # [B, H, W, C]
         B = target.shape[0]
 
-        # batched photometric loss over all S*F warps
+        # batched photometric loss over all S*F warps; the target-side SSIM
+        # pools (mu_y, sigma_y) are computed ONCE on the [B, ...] target and
+        # broadcast — identical values, 2 of 5 pooled quantities saved per
+        # pair, and reused by the identity losses below
         target_tiled = jnp.broadcast_to(
             target[None, None], preds.shape).reshape(-1, H, W, preds.shape[-1])
+        t_stats = ssim_target_stats(target)
+        t_stats_tiled = tuple(
+            jnp.broadcast_to(t[None, None], (S, F) + t.shape).reshape(
+                -1, *t.shape[1:]) for t in t_stats)
         proj_loss = reprojection_loss(
-            preds.reshape(-1, H, W, preds.shape[-1]), target_tiled)
+            preds.reshape(-1, H, W, preds.shape[-1]), target_tiled,
+            target_stats=t_stats_tiled)
         proj_loss = proj_loss.reshape(S, F, B, H, W)
 
         if self.overlapped_mask and overlap is not None:
@@ -298,7 +310,8 @@ class MonoDepth2Decoder(nn.Module):
             # identity automask: static-scene pixels prefer the un-warped
             # source (reference monodepth2_decoder.py:248-263)
             identity = jnp.stack([
-                reprojection_loss(input_dict[("original_image", f)], target)
+                reprojection_loss(input_dict[("original_image", f)], target,
+                                  target_stats=t_stats)
                 for f in frames
             ], axis=0)[..., 0]  # [F, B, H, W]
             if noise_rng is not None:

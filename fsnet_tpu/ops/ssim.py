@@ -53,14 +53,31 @@ def _avg_pool_same(x: jnp.ndarray, kernel_size: int, padding: int) -> jnp.ndarra
                       preferred_element_type=acc_t).astype(x.dtype)
 
 
+def ssim_target_stats(y: jnp.ndarray, kernel_size: int = 3,
+                      padding: int = 1):
+    """Precompute the target-side pooled stats (mu_y, sigma_y) of
+    :func:`ssim`. When the same target is compared against many predictions
+    (the S x F tiled min-reprojection loss) this removes the redundant
+    re-pooling — 2 of the 5 pooled quantities per pair. Exact: broadcasting
+    the pooled values is identical to pooling the broadcast target."""
+    mu_y = _avg_pool_same(y, kernel_size, padding)
+    sigma_y = jnp.maximum(
+        _avg_pool_same(y * y, kernel_size, padding) - mu_y * mu_y, 0.0)
+    return mu_y, sigma_y
+
+
 def ssim(x: jnp.ndarray, y: jnp.ndarray, kernel_size: int = 3,
-         padding: int = 1) -> jnp.ndarray:
+         padding: int = 1, y_stats=None) -> jnp.ndarray:
     """SSIM *dissimilarity* clamp((1 - SSIM)/2, 0, 1), elementwise over NHWC.
 
     Matches reference ``SSIM.forward`` (``monodepth_utils.py:199-215``).
+    ``y_stats``: optional precomputed :func:`ssim_target_stats` for ``y``
+    (any shape broadcastable against x's pooled stats).
     """
     mu_x = _avg_pool_same(x, kernel_size, padding)
-    mu_y = _avg_pool_same(y, kernel_size, padding)
+    if y_stats is None:
+        y_stats = ssim_target_stats(y, kernel_size, padding)
+    mu_y, sigma_y = y_stats
 
     # clamp the variance estimates at >= 0: mathematically a no-op (true
     # variances are non-negative; f32/f64 negatives are ~1e-7 cancellation
@@ -71,8 +88,6 @@ def ssim(x: jnp.ndarray, y: jnp.ndarray, kernel_size: int = 3,
     # The clamp bounds ssim_d >= C1*C2 > 0 in every dtype.
     sigma_x = jnp.maximum(
         _avg_pool_same(x * x, kernel_size, padding) - mu_x * mu_x, 0.0)
-    sigma_y = jnp.maximum(
-        _avg_pool_same(y * y, kernel_size, padding) - mu_y * mu_y, 0.0)
     sigma_xy = _avg_pool_same(x * y, kernel_size, padding) - mu_x * mu_y
 
     ssim_n = (2.0 * mu_x * mu_y + _C1) * (2.0 * sigma_xy + _C2)
