@@ -1,6 +1,7 @@
 """Mei fisheye camera model tests: forward/inverse consistency + the fisheye
 loss head on synthetic batches."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -74,6 +75,7 @@ def test_mei_projection_cache():
     assert len(mei.cache) == 1  # cache hit
 
 
+@pytest.mark.heavy
 def test_fisheye_decoder_loss():
     from fsnet_tpu.models.heads.fisheye_decoder import FishEyeDecoder
     from fsnet_tpu.utils.keys import encode_batch

@@ -284,6 +284,7 @@ def test_f32_loss_and_grads_match_reference(ref_decoder_cls, overlapped_mask):
 
 # ------------------------------------------------------- full model (stage B)
 
+@pytest.mark.heavy
 def test_full_forward_train_matches_reference(ref_decoder_cls):
     """End-to-end ``MonoDepthWPose.forward_train`` parity: the REFERENCE's
     own meta-arch + ResNet-18 + MultiChannelDepthDecoder + loss (torch, CPU)

@@ -5,11 +5,13 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 
+@pytest.mark.heavy
 def test_train_main_one_epoch(tmp_path):
     import train as train_script
 

@@ -2,6 +2,7 @@
 full DP sharding path (batch sharded over 'data', params replicated, XLA
 all-reduce) that the reference covers with DDP/NCCL (SURVEY.md §2.3)."""
 import numpy as np
+import pytest
 
 import jax
 
@@ -25,6 +26,7 @@ def _build():
     return model, batch, state
 
 
+@pytest.mark.heavy
 def test_train_step_on_mesh():
     model, batch, state = _build()
     mesh = make_mesh()  # all 8 virtual devices
@@ -108,6 +110,7 @@ def test_iter_based_schedule_beyond_4096_steps():
     assert float(sched(66_000)) == 0.0
 
 
+@pytest.mark.heavy
 def test_frozen_mask():
     model, batch, state = _build()
     cfg = _flagship_cfg()
@@ -139,6 +142,7 @@ def test_frozen_mask():
     assert np.abs(np.asarray(l2_after) - np.asarray(l2_before)).max() > 0
 
 
+@pytest.mark.heavy
 def test_graft_entry_dryrun():
     import sys
     sys.path.insert(0, "/root/repo")
