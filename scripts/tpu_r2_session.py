@@ -129,4 +129,32 @@ for b in (4, 6):
     print(f"band={b:2d}                                  {ms:7.1f} ms/step  "
           f"{B * 1000 / ms:6.1f} imgs/s loss={loss:.5f}", flush=True)
 
+# --- 6: is the fused-kernel output moveaxis free? ----------------------------
+# The kernels emit [B, Ho, T, C, L]; consumers get NHWC via moveaxis+reshape
+# (~660 MB bf16 x 3 outputs). If XLA does NOT fuse that transpose, a
+# channel-major out_specs refactor is worth ~1.6 ms/step. Differencing
+# harness: (t(K=40) - t(K=10)) / 30 cancels the ~3 ms/iter axon fixed cost.
+x = jax.random.normal(jax.random.PRNGKey(0), (96, 192, 5, 3, 128),
+                      jnp.bfloat16)
+
+
+def _tr_probe(k):
+    def body(c, _):
+        y = jnp.moveaxis(c, 3, 4).reshape(96, 192, 640, 3)
+        # a consumer that forces materialization-or-fusion decisions
+        s = jnp.abs(y - 0.5).mean(axis=-1).sum()
+        return c + (s * 1e-12).astype(c.dtype), None
+    f = jax.jit(lambda c: jax.lax.scan(body, c, None, length=k)[0])
+    r = f(x)
+    float(r[0, 0, 0, 0, 0])
+    t0 = time.perf_counter()
+    r = f(x)
+    float(r[0, 0, 0, 0, 0])
+    return time.perf_counter() - t0
+
+
+t10, t40 = _tr_probe(10), _tr_probe(40)
+print(f"moveaxis+abs-mean consumer: {(t40 - t10) / 30 * 1000:.2f} ms/iter "
+      f"(660 MB bf16 transpose + reduce)", flush=True)
+
 print("SESSION COMPLETE", flush=True)
