@@ -157,6 +157,10 @@ def trainer_section(clip_gradients, evaluate_hook):
             name=("fsnet_tpu.pipeline_hooks.train_val_hooks."
                   "BaseTrainingHook"),
             clip_gradients=clip_gradients,
+            # bf16 mixed precision (f32 master params): validated against
+            # the f32 trajectory by scripts/convergence_probe.py
+            # (BASELINE.md); set None to train f32 like the reference.
+            compute_dtype="bfloat16",
         ),
         evaluate_hook=evaluate_hook,
     )

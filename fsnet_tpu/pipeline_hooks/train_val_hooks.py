@@ -26,10 +26,26 @@ class BaseTrainingHook:
     the runner can read it from the same config location as the reference."""
 
     def __init__(self, tensor_keys: Optional[List[str]] = None,
-                 clip_gradients: Optional[float] = None, **kwargs):
+                 clip_gradients: Optional[float] = None,
+                 compute_dtype: Optional[str] = None, **kwargs):
         self.tensor_keys = tensor_keys
         self.clip_gradients = clip_gradients
-        self._train_step = make_train_step(donate=True)
+        # compute_dtype='bfloat16' enables mixed precision (f32 master
+        # params, bf16 forward/backward): ~2x MXU rate + half HBM traffic on
+        # TPU. The 300-step convergence probe shows the bf16 loss curve
+        # tracking f32 to the same AbsRel (BASELINE.md); the reference
+        # trains f32, so this stays config-opt-in.
+        dtype = None
+        if compute_dtype is not None:
+            import jax.numpy as jnp
+
+            dtype = jnp.dtype(
+                {"bf16": "bfloat16"}.get(compute_dtype, compute_dtype))
+            assert dtype in (jnp.dtype(jnp.bfloat16),
+                             jnp.dtype(jnp.float32)), compute_dtype
+            if dtype == jnp.dtype(jnp.float32):
+                dtype = None
+        self._train_step = make_train_step(donate=True, compute_dtype=dtype)
 
     @profile("Training hook", 0, 100)
     def __call__(self, data: Dict, state, rng: jax.Array,
