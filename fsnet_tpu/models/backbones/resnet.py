@@ -43,6 +43,70 @@ def _conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
                    use_bias=False, name=name)
 
 
+import os as _os
+
+#: Space-to-depth stem dispatch (TPU backends): the 7x7/s2 conv on C=3 (or
+#: 6, pose) input uses ~2% of the MXU's 128-channel contraction — and its
+#: stride-2 small-C backward is worse. Regrouping 2x2 pixel blocks into
+#: channels turns it into an EXACT 4x4/s1 conv at 4x the channel depth
+#: (MLPerf-style resnet stem). Params stay the canonical [7,7,C,64] kernel
+#: (checkpoint-compatible); the weight regroup is a trace-time reshape.
+S2D_STEM = _os.environ.get("FSNET_S2D_STEM", "1") != "0"
+
+
+def _stem_kernel_to_s2d(w: jnp.ndarray) -> jnp.ndarray:
+    """[7, 7, C, Co] stem kernel -> [4, 4, 4C, Co] space-to-depth kernel.
+
+    out[i,j] = sum_{dy,dx} w[dy,dx] x[2i+dy-3, 2j+dx-3]; writing
+    dy-3 = 2a+p (p in {0,1}) gives taps a in [-2,1] over the s2d grid with
+    input channel (p,q,c). (a=-2, p=0) maps to dy=-1: no source tap, zero."""
+    C, Co = w.shape[2], w.shape[3]
+    w4 = jnp.zeros((4, 4, 2, 2, C, Co), w.dtype)
+    for a in range(-2, 2):
+        for p in (0, 1):
+            dy = 2 * a + p + 3
+            if not 0 <= dy < 7:
+                continue
+            for b in range(-2, 2):
+                for q in (0, 1):
+                    dx = 2 * b + q + 3
+                    if not 0 <= dx < 7:
+                        continue
+                    w4 = w4.at[a + 2, b + 2, p, q].set(w[dy, dx])
+    return w4.reshape(4, 4, 4 * C, Co)
+
+
+def _space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/2, W/2, 4C], channel order (p, q, c)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        B, H // 2, W // 2, 4 * C)
+
+
+class StemConv(nn.Module):
+    """7x7/s2 stem conv owning the canonical [7, 7, C, 64] kernel, dispatched
+    as the exact space-to-depth 4x4/s1 form on TPU backends (even H, W)."""
+
+    features: int = 64
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, C, self.features), jnp.float32)
+        kernel = kernel.astype(x.dtype)
+        if (S2D_STEM and jax.default_backend() in ("tpu", "axon")
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            return jax.lax.conv_general_dilated(
+                _space_to_depth2(x), _stem_kernel_to_s2d(kernel),
+                window_strides=(1, 1), padding=((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class BasicBlock(nn.Module):
     """Two 3x3 convs + identity/projection residual (reference ``resnet.py:21-50``)."""
 
@@ -163,12 +227,14 @@ class ResNet(nn.Module):
         return outs
 
     def _stem_conv(self, x: jnp.ndarray) -> jnp.ndarray:
-        """7x7 stride-2 stem (native conv). A W-minor matmul reformulation
-        exists (:func:`fsnet_tpu.ops.fast_conv.conv7x7s2`, exact) but
-        benched SLOWER end-to-end (166.3 -> 153.6 imgs/s — its backward
-        scatters through 63 window pieces), so it is not dispatched; see
+        """7x7 stride-2 stem; on TPU backends dispatched as the exact
+        space-to-depth 4x4/s1 form (:class:`StemConv`, FSNET_S2D_STEM).
+        A W-minor matmul reformulation was also tried
+        (:func:`fsnet_tpu.ops.fast_conv.conv7x7s2`, exact) but benched
+        SLOWER end-to-end (166.3 -> 153.6 imgs/s — its backward scatters
+        through 63 window pieces), so it is not dispatched; see
         BASELINE.md."""
-        return _conv(64, 7, 2, name="conv1")(x)
+        return StemConv(64, name="conv1")(x)
 
 
 def resnet(depth: int, pretrained: bool = False, pretrained_path: str = "",

@@ -134,3 +134,44 @@ def test_densenet_features():
     _, out = _jit_init_apply(model, x)
     # transition3 pool removed -> final stride 16 instead of 32
     assert out.shape == (1, 4, 6, 1024)
+
+
+def test_stem_space_to_depth_exact():
+    """The TPU space-to-depth stem (4x4/s1 on 2x2-regrouped pixels) must be
+    bit-exact vs the canonical 7x7/s2 conv for the same [7,7,C,Co] kernel,
+    for both the C=3 depth stem and the C=6 pose stem."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from fsnet_tpu.models.backbones.resnet import (
+        _space_to_depth2, _stem_kernel_to_s2d)
+
+    rng = np.random.RandomState(0)
+    for C in (3, 6):
+        x = jnp.asarray(rng.randn(2, 32, 48, C).astype(np.float32))
+        w = jnp.asarray(rng.randn(7, 7, C, 16).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, w, window_strides=(2, 2), padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = jax.lax.conv_general_dilated(
+            _space_to_depth2(x), _stem_kernel_to_s2d(w),
+            window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        # gradients w.r.t. x and w agree too (the backward is the win)
+        f_ref = lambda x_, w_: jnp.sum(jax.lax.conv_general_dilated(
+            x_, w_, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) ** 2)
+        f_s2d = lambda x_, w_: jnp.sum(jax.lax.conv_general_dilated(
+            _space_to_depth2(x_), _stem_kernel_to_s2d(w_), (1, 1),
+            ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) ** 2)
+        gx_r, gw_r = jax.grad(f_ref, (0, 1))(x, w)
+        gx_s, gw_s = jax.grad(f_s2d, (0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_r),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_r),
+                                   rtol=1e-4, atol=1e-3)
