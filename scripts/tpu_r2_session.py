@@ -129,6 +129,14 @@ for b in (4, 6):
     print(f"band={b:2d}                                  {ms:7.1f} ms/step  "
           f"{B * 1000 / ms:6.1f} imgs/s loss={loss:.5f}", flush=True)
 
+# --- 5b: space-to-depth stem A/B ---------------------------------------------
+import fsnet_tpu.models.backbones.resnet as rn
+
+rn.S2D_STEM = False
+timed("stem: native 7x7/s2 (S2D off)")
+rn.S2D_STEM = True
+timed("stem: space-to-depth 4x4/s1")
+
 # --- 6: is the fused-kernel output moveaxis free? ----------------------------
 # The kernels emit [B, Ho, T, C, L]; consumers get NHWC via moveaxis+reshape
 # (~660 MB bf16 x 3 outputs). If XLA does NOT fuse that transpose, a
