@@ -35,15 +35,34 @@ def _pool_matrix(n: int, kernel_size: int, padding: int) -> np.ndarray:
     return m
 
 
+import os as _os
+
+#: A/B toggle: implement the 3x3 stride-1 mean pool as a reflect-pad
+#: shifted-adds stencil (pure elementwise, fuses into the surrounding SSIM
+#: math) instead of banded-matrix MXU contractions. The matmul form burns
+#: ~45 GFLOP per W-pool on what is a 3-tap stencil; the stencil form is
+#: bandwidth-only. Exact to reassociation (sum*(1/k) vs per-tap 1/k).
+#: Larger kernels (the k=13 similarity weight) always use the matmul form.
+SSIM_STENCIL = _os.environ.get("FSNET_SSIM_STENCIL", "1") != "0"
+
+
 def _avg_pool_same(x: jnp.ndarray, kernel_size: int, padding: int) -> jnp.ndarray:
     """Reflection-pad then kernel_size x kernel_size mean pool, stride 1 (the
     reference's ``nn.ReflectionPad2d`` + ``nn.AvgPool2d(k, 1)`` pair).
 
-    Implemented as two banded-matrix contractions so both the forward and
-    the backward (transposed matmuls) run on the MXU; depthwise convs and
+    Two implementations, both MXU/TPU-conscious (depthwise convs and
     reduce_window lower to much slower VPU loops on TPU, and SSIM is on the
-    training hot path."""
+    training hot path): banded-matrix contractions on the MXU, or (default
+    for k=3) a reflect-pad shifted-adds stencil that fuses elementwise."""
     B, H, W, C = x.shape
+    if SSIM_STENCIL and kernel_size == 3 and padding == 1 and H > 2 and W > 2:
+        acc_t = jnp.promote_types(x.dtype, jnp.float32)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                     mode="reflect").astype(acc_t)     # f32 accumulation,
+        s = xp[:, :-2] + xp[:, 1:-1] + xp[:, 2:]       # matching the matmul
+        out = s[:, :, :-2] + s[:, :, 1:-1] + s[:, :, 2:]   # form's acc_t
+        return (out * jnp.asarray(1.0 / kernel_size ** 2, acc_t)).astype(
+            x.dtype)
     acc_t = jnp.promote_types(x.dtype, jnp.float32)  # f32 accum for bf16,
     mh = jnp.asarray(_pool_matrix(H, kernel_size, padding), x.dtype)
     mw = jnp.asarray(_pool_matrix(W, kernel_size, padding), x.dtype)

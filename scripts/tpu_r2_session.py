@@ -129,6 +129,14 @@ for b in (4, 6):
     print(f"band={b:2d}                                  {ms:7.1f} ms/step  "
           f"{B * 1000 / ms:6.1f} imgs/s loss={loss:.5f}", flush=True)
 
+# --- 5a: SSIM stencil-vs-matmul pooling A/B ----------------------------------
+import fsnet_tpu.ops.ssim as ssim_m
+
+ssim_m.SSIM_STENCIL = False
+timed("ssim: banded-matmul pooling")
+ssim_m.SSIM_STENCIL = True
+timed("ssim: shifted-adds stencil pooling")
+
 # --- 5b: space-to-depth stem A/B ---------------------------------------------
 import fsnet_tpu.models.backbones.resnet as rn
 
