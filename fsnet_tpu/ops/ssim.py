@@ -43,7 +43,9 @@ import os as _os
 #: ~45 GFLOP per W-pool on what is a 3-tap stencil; the stencil form is
 #: bandwidth-only. Exact to reassociation (sum*(1/k) vs per-tap 1/k).
 #: Larger kernels (the k=13 similarity weight) always use the matmul form.
-SSIM_STENCIL = _os.environ.get("FSNET_SSIM_STENCIL", "1") != "0"
+#: DEFAULT OFF until the full-step TPU A/B adjudicates (bench.py is the
+#: only keep/revert arbiter — BASELINE.md methodology).
+SSIM_STENCIL = _os.environ.get("FSNET_SSIM_STENCIL", "0") != "0"
 
 
 def _avg_pool_same(x: jnp.ndarray, kernel_size: int, padding: int) -> jnp.ndarray:
