@@ -130,7 +130,12 @@ for b in (4, 6):
           f"{B * 1000 / ms:6.1f} imgs/s loss={loss:.5f}", flush=True)
 
 # --- 5a: SSIM stencil-vs-matmul pooling A/B ----------------------------------
-import fsnet_tpu.ops.ssim as ssim_m
+# NOTE: fsnet_tpu.ops re-exports the ssim FUNCTION under the submodule name;
+# `import fsnet_tpu.ops.ssim as m` would bind the function and the toggle
+# write would silently no-op. Resolve the real module.
+import importlib
+
+ssim_m = importlib.import_module("fsnet_tpu.ops.ssim")
 
 ssim_m.SSIM_STENCIL = False
 timed("ssim: banded-matmul pooling")
