@@ -54,8 +54,8 @@ def _avg_pool_same(x: jnp.ndarray, kernel_size: int, padding: int) -> jnp.ndarra
 
     Two implementations, both MXU/TPU-conscious (depthwise convs and
     reduce_window lower to much slower VPU loops on TPU, and SSIM is on the
-    training hot path): banded-matrix contractions on the MXU, or (default
-    for k=3) a reflect-pad shifted-adds stencil that fuses elementwise."""
+    training hot path): banded-matrix contractions on the MXU (default), or
+    a reflect-pad shifted-adds stencil (:data:`SSIM_STENCIL`, k=3 only)."""
     B, H, W, C = x.shape
     if SSIM_STENCIL and kernel_size == 3 and padding == 1 and H > 2 and W > 2:
         acc_t = jnp.promote_types(x.dtype, jnp.float32)
