@@ -146,3 +146,32 @@ def test_fisheye_dataset_sample(fisheye_tree):
     # all but boundary pixels are unit rays (the backtracking solve can sit
     # on the valid-region rim for a single pixel of the mask)
     assert (np.abs(norms - 1.0) < 1e-3).mean() > 0.99
+
+
+def test_concat_real_datasets_through_loader(kitti360_tree, tmp_path_factory):
+    """ConcatDataset over the real KITTI-360 fixture dataset (both filter
+    modes -> different lengths) driven through the threaded dataloader +
+    shared-key collate: the full host feed path on real dataset classes."""
+    from fsnet_tpu.data.dataloader import build_dataloader
+    from fsnet_tpu.data.datasets.dataset_utils import ConcatDataset
+
+    root, meta = kitti360_tree
+    common = dict(raw_path=str(root), split_file=str(meta),
+                  frame_ids=[0, 1, -1], use_right_image=False,
+                  augmentation=_aug_cfg(train=False))
+    ds = ConcatDataset(
+        cfg_list=[
+            dict(name=("fsnet_tpu.data.datasets.kitti360_dataset."
+                       "KITTI360MonoDataset")),
+            dict(name=("fsnet_tpu.data.datasets.kitti360_dataset."
+                       "KITTI360MonoDataset"), is_filter_static=False),
+        ],
+        **common)
+    assert len(ds) == 4  # 1 filtered + 3 unfiltered
+
+    loader = build_dataloader(ds, num_workers=0, batch_size=2)
+    batch = next(iter(loader))
+    # batches carry the pytree-stable encoded keys ('image', 0) -> 'image/0'
+    assert batch["image/0"].shape == (2, CROP_H, CROP_W, 3)
+    assert batch["relative_pose/1"].shape == (2, 4, 4)
+    assert np.isfinite(np.asarray(batch["relative_pose/1"])).all()
