@@ -243,3 +243,31 @@ def test_depth_bins_and_gather_activation():
                        dim=1, keepdim=True).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(ours, oracle, atol=1e-5)
     assert ours.min() >= 0.5 and ours.max() <= 100.0
+
+
+def test_ssim_stencil_matches_matmul_pooling():
+    """FSNET_SSIM_STENCIL shifted-adds pooling == banded-matmul pooling to
+    f32 reassociation noise, on pooling itself and through the SSIM map."""
+    import importlib
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    sm = importlib.import_module("fsnet_tpu.ops.ssim")
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 16, 24, 3).astype(np.float32))
+    y = jnp.asarray(rng.rand(2, 16, 24, 3).astype(np.float32))
+    old = sm.SSIM_STENCIL
+    try:
+        sm.SSIM_STENCIL = False
+        pool_ref = sm._avg_pool_same(x, 3, 1)
+        ssim_ref = sm.ssim(x, y)
+        sm.SSIM_STENCIL = True
+        pool_st = sm._avg_pool_same(x, 3, 1)
+        ssim_st = sm.ssim(x, y)
+    finally:
+        sm.SSIM_STENCIL = old
+    np.testing.assert_allclose(np.asarray(pool_st), np.asarray(pool_ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ssim_st), np.asarray(ssim_ref),
+                               atol=1e-5)
