@@ -702,17 +702,26 @@ def _dma_group(group: int, Ho: int, T: int, KL: int, L: int,
     return max(group, 1)
 
 
-def _split_fused_out(outs, C: int):
-    """Three [B, Ho, T, C, L] kernel outputs -> (out, va, vb) NHWC rows."""
+def _split_fused_out(outs, C: int, tiled_vjp: bool = False):
+    """Three [B, Ho, T, C, L] kernel outputs -> (out NHWC, va, vb).
+
+    ``tiled_vjp``: leave va/vb in the kernel's native tiled [B, Ho, T, C, L]
+    layout — they are only ever consumed by the backward contraction
+    ``gfx = sum_c g * va``, which can transpose the single cotangent ``g``
+    instead of both difference tensors (one relayout pass instead of two).
+    """
     B, Ho, T, _, L = outs[0].shape
-    return tuple(jnp.moveaxis(o, 3, 4).reshape(B, Ho, T * L, C)
-                 for o in outs)
+    out = jnp.moveaxis(outs[0], 3, 4).reshape(B, Ho, T * L, C)
+    if tiled_vjp:
+        return out, outs[1], outs[2]
+    return (out,) + tuple(jnp.moveaxis(o, 3, 4).reshape(B, Ho, T * L, C)
+                          for o in outs[1:])
 
 
 def warp_rows_pallas_fused(bands_cw: jnp.ndarray, ws: jnp.ndarray,
                            ipack: jnp.ndarray, fpack8: jnp.ndarray,
                            band: int, C: int, group: int = 16,
-                           packed: bool = False):
+                           packed: bool = False, tiled_vjp: bool = False):
     """Fused fwd+vjp on a materialized band tensor (non-DMA fallback);
     returns (out, va, vb) each [B, Ho, W, C]."""
     B, Ho, KL, W = bands_cw.shape
@@ -752,14 +761,14 @@ def warp_rows_pallas_fused(bands_cw: jnp.ndarray, ws: jnp.ndarray,
         out_shape=[jax.ShapeDtypeStruct((B, Ho, T, C, L), odt)] * 3,
         grid_spec=grid_spec,
     )(ws.astype(jnp.int32).reshape(-1), ipack_tiled, fpack_tiled, band_tiled)
-    return _split_fused_out(outs, C)
+    return _split_fused_out(outs, C, tiled_vjp=tiled_vjp)
 
 
 def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
                                ymin_rows: jnp.ndarray, ws: jnp.ndarray,
                                ipack: jnp.ndarray, fpack8: jnp.ndarray,
                                band: int, C: int, group: int = 8,
-                               packed: bool = False):
+                               packed: bool = False, tiled_vjp: bool = False):
     """Fused fwd+vjp with the band row-gather as double-buffered DMA;
     returns (out, va, vb) each [B, Ho, W, C]."""
     NI, T, HC, L = img_tiled.shape
@@ -804,7 +813,7 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
             dimension_semantics=("arbitrary", "arbitrary")),
     )(ymin_rows.astype(jnp.int32), ws.astype(jnp.int32).reshape(-1),
       ipack_tiled, fpack_tiled, img_tiled)
-    return _split_fused_out(outs, C)
+    return _split_fused_out(outs, C, tiled_vjp=tiled_vjp)
 
 
 def warp_rows_pallas(bands_cw: jnp.ndarray, ws: jnp.ndarray,
@@ -1019,7 +1028,8 @@ def grid_sample_band_pallas(image: jnp.ndarray, iw: dict, band: int,
 def grid_sample_band_pallas_fused(image: jnp.ndarray, iw: dict, band: int,
                                   wx0, wx1, wy0, wy1, mx0, mx1, my0, my1,
                                   group: int = 16, dma: bool | None = None,
-                                  border: bool = False):
+                                  border: bool = False,
+                                  tiled_vjp: bool = False):
     """Fused forward + VJP band warp: ONE kernel pass returning
     (out, va, vb) NHWC where va = d out/d fx and vb = d out/d fy (the two
     difference passes the backward kernel would otherwise re-derive with its
@@ -1053,10 +1063,12 @@ def grid_sample_band_pallas_fused(image: jnp.ndarray, iw: dict, band: int,
         img_tiled, ymin_rows, rows, packed = _prep_img_dma(image, iw, band)
         return warp_rows_pallas_dma_fused(img_tiled, ymin_rows, ws, ipack,
                                           fpack8, rows, C,
-                                          group=min(group, 8), packed=packed)
+                                          group=min(group, 8), packed=packed,
+                                          tiled_vjp=tiled_vjp)
     bands_cw, rows, packed = _prep_bands(image, iw, band)
     return warp_rows_pallas_fused(bands_cw, ws, ipack, fpack8, rows, C,
-                                  group=group, packed=packed)
+                                  group=group, packed=packed,
+                                  tiled_vjp=tiled_vjp)
 
 
 def pallas_warp_supported(image_shape) -> bool:

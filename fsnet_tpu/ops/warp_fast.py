@@ -47,6 +47,20 @@ from .warp import _unnormalize, grid_sample as grid_sample_exact
 #: forward-only kernel (the primal function, not the fwd rule).
 FUSED_VJP = _os.environ.get("FSNET_FUSED_VJP", "1") != "0"
 
+#: Keep the fused kernel's (va, vb) difference tensors in their native
+#: tiled [B, Ho, T, C, L] layout instead of relayouting both to NHWC: the
+#: backward contraction transposes the single cotangent ``g`` instead —
+#: one relayout pass instead of two (~440 MB bf16 less traffic per step at
+#: the KITTI recipe). Numerically identical. ``FSNET_TILED_VJP=0`` restores
+#: NHWC residuals.
+TILED_VJP = _os.environ.get("FSNET_TILED_VJP", "1") != "0"
+
+
+def _tile_nhwc(x: jnp.ndarray, L: int) -> jnp.ndarray:
+    """[B, Ho, W, C] -> the kernels' tiled [B, Ho, T, C, L] layout."""
+    B, Ho, W, C = x.shape
+    return jnp.moveaxis(x.reshape(B, Ho, W // L, L, C), 4, 3)
+
 
 def _indices_and_weights(image_shape, grid, mode, padding_mode, align_corners,
                          band):
@@ -237,7 +251,8 @@ def _fwd(image, grid, mode, padding_mode, align_corners, band,
         mx0, mx1, my0, my1 = _padding_masks(iw, padding_mode, jnp.float32)
         out, va, vb = grid_sample_band_pallas_fused(
             image, iw, band, iw["wx0"], iw["wx1"], iw["wy0"], iw["wy1"],
-            mx0, mx1, my0, my1, border=padding_mode == "border")
+            mx0, mx1, my0, my1, border=padding_mode == "border",
+            tiled_vjp=TILED_VJP)
         return out.astype(image.dtype), (image, grid,
                                          va.astype(image.dtype),
                                          vb.astype(image.dtype))
@@ -257,8 +272,16 @@ def _bwd(mode, padding_mode, align_corners, band, image_grad, residuals, g):
     if va is not None:
         # fused path: the forward kernel already emitted both difference
         # passes; the backward is one elementwise contraction.
-        gfx = jnp.sum(g * va, axis=-1)
-        gfy = jnp.sum(g * vb, axis=-1)
+        if va.ndim == 5:
+            # tiled residuals [B, Ho, T, C, L] (TILED_VJP): transpose the
+            # single cotangent instead of both difference tensors; the
+            # channel-reduced result reshapes back to [B, Ho, W] for free
+            g_t = _tile_nhwc(g, va.shape[-1])
+            gfx = jnp.sum(g_t * va, axis=3).reshape(g.shape[:3])
+            gfy = jnp.sum(g_t * vb, axis=3).reshape(g.shape[:3])
+        else:
+            gfx = jnp.sum(g * va, axis=-1)
+            gfy = jnp.sum(g * vb, axis=-1)
         return (jnp.zeros_like(image),
                 _chain_to_grid(grid, gfx, gfy, H, W, padding_mode,
                                align_corners, g.dtype))
