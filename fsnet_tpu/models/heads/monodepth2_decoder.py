@@ -27,9 +27,22 @@ import flax.linen as nn
 
 from ...ops.geometry import get_smooth_loss, invert_K, make_K44, reproject
 from ...ops.metrics import compute_depth_errors_masked
-from ...ops.ssim import ssim as ssim_fn, ssim_target_stats
+from ...ops.ssim import (
+    ssim as ssim_fn, ssim_target_stats, ssim_target_stats_tiled, ssim_tiled,
+)
 from ...ops.warp import _unnormalize
-from ...ops.warp_fast import grid_sample, scale_batched_warp_is_fused
+from ...ops.warp_fast import (
+    _tile_nhwc, grid_sample, grid_sample_band_tiled,
+    scale_batched_warp_is_fused,
+)
+
+import os as _os
+
+#: Consume the Pallas fused warp's native tiled [N, Ho, T, C, L] layout in
+#: the photometric loss (tiled SSIM/L1), skipping the NHWC relayout of the
+#: warp outputs entirely — the channel-reduced loss reshapes to [S, F, B,
+#: H, W] for free. DEFAULT OFF until the full-step TPU A/B adjudicates.
+TILED_LOSS = _os.environ.get("FSNET_TILED_LOSS", "0") != "0"
 from ...utils.builder import build
 from ..blocks import adaptive_avg_pool2d, interpolate_bilinear
 
@@ -112,6 +125,14 @@ class MonoDepth2Decoder(nn.Module):
                 build(**dict(self.photometric_net_cfg))
                 if self.photometric_net_cfg is not None
                 else PhotometricUncertaintyNet())
+
+    def _use_tiled_loss(self) -> bool:
+        """Tiled-layout photometric loss applies when nothing post-processes
+        the warped NHWC images (light compensation scales them per channel;
+        the photometric-uncertainty net convolves them)."""
+        return (TILED_LOSS and not self.is_light_compensate
+                and not self.learnable_photometric_uncertain
+                and self.warp_impl == "band")
 
     # ------------------------------------------------------------- submodules
 
@@ -198,9 +219,19 @@ class MonoDepth2Decoder(nn.Module):
                                impl=self.warp_impl, band=self.warp_band)
 
         grids_flat = grids.reshape(S * F * B, H, W, 2)
+        preds_t = None
         if scale_batched_warp_is_fused(sources_flat.shape, grids_flat.shape,
                                        self.warp_impl):
-            preds = _photo_warp(sources_flat, grids_flat)
+            if self._use_tiled_loss():
+                preds_t = grid_sample_band_tiled(sources_flat, grids_flat,
+                                                 band=self.warp_band)
+                # NHWC view for output_dict / heatmaps: consumed only by
+                # logging slices, so XLA dead-code-eliminates the full
+                # relayout under jit
+                preds = jnp.moveaxis(preds_t, 3, 4).reshape(
+                    S * F * B, H, W, C)
+            else:
+                preds = _photo_warp(sources_flat, grids_flat)
         else:
             preds = jax.lax.map(
                 lambda g: _photo_warp(sources_flat,
@@ -250,7 +281,7 @@ class MonoDepth2Decoder(nn.Module):
                         grids)
                 overlap = (warped.reshape(S, F, B, H, W) == 1.0)
 
-        return preds, overlap, depths_full
+        return preds, overlap, depths_full, preds_t
 
     def compute_total_reprojection_loss(self, output_dict, input_dict,
                                         noise_rng: Optional[jax.Array] = None):
@@ -263,7 +294,9 @@ class MonoDepth2Decoder(nn.Module):
         S, F = len(scales), len(frames)
         H, W = self.height, self.width
 
-        preds, overlap, depths_full = self._warp_all(input_dict, output_dict)
+        warp_res = self._warp_all(input_dict, output_dict)
+        preds, overlap, depths_full = warp_res[:3]
+        preds_t = warp_res[3] if len(warp_res) > 3 else None
         for si, s in enumerate(scales):
             output_dict[("depth", 0, s)] = depths_full[si]
             for fi, f in enumerate(frames):
@@ -276,16 +309,32 @@ class MonoDepth2Decoder(nn.Module):
         # pools (mu_y, sigma_y) are computed ONCE on the [B, ...] target and
         # broadcast — identical values, 2 of 5 pooled quantities saved per
         # pair, and reused by the identity losses below
-        target_tiled = jnp.broadcast_to(
-            target[None, None], preds.shape).reshape(-1, H, W, preds.shape[-1])
         t_stats = ssim_target_stats(target)
-        t_stats_tiled = tuple(
-            jnp.broadcast_to(t[None, None], (S, F) + t.shape).reshape(
-                -1, *t.shape[1:]) for t in t_stats)
-        proj_loss = reprojection_loss(
-            preds.reshape(-1, H, W, preds.shape[-1]), target_tiled,
-            target_stats=t_stats_tiled)
-        proj_loss = proj_loss.reshape(S, F, B, H, W)
+
+        def _sf_tile(t):
+            return jnp.broadcast_to(t[None, None], (S, F) + t.shape).reshape(
+                (-1,) + t.shape[1:])
+
+        if preds_t is not None:
+            # tiled-layout loss (FSNET_TILED_LOSS): SSIM/L1 directly on the
+            # warp kernels' [N, Ho, T, C, L] output; the channel-reduced
+            # result reshapes to [S, F, B, H, W] for free
+            tgt_t = _tile_nhwc(target, preds_t.shape[-1])
+            st_t = ssim_target_stats_tiled(tgt_t)
+            tgt_sf = _sf_tile(tgt_t)
+            st_sf = tuple(_sf_tile(t) for t in st_t)
+            l1 = jnp.mean(jnp.abs(tgt_sf - preds_t), axis=3)
+            s_d = jnp.mean(ssim_tiled(preds_t, tgt_sf, y_stats=st_sf),
+                           axis=3)
+            proj_loss = (0.85 * s_d + 0.15 * l1).reshape(S, F, B, H, W)
+        else:
+            target_tiled = jnp.broadcast_to(
+                target[None, None],
+                preds.shape).reshape(-1, H, W, preds.shape[-1])
+            proj_loss = reprojection_loss(
+                preds.reshape(-1, H, W, preds.shape[-1]), target_tiled,
+                target_stats=tuple(_sf_tile(t) for t in t_stats))
+            proj_loss = proj_loss.reshape(S, F, B, H, W)
 
         if self.overlapped_mask and overlap is not None:
             # large constant blocks gradients and loses the min (reference

@@ -561,7 +561,8 @@ def warp_rows_pallas_dma(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
                          ws: jnp.ndarray, ipack: jnp.ndarray,
                          fpack: jnp.ndarray, band: int,
                          C: int, group: int = 8,
-                         packed: bool = False) -> jnp.ndarray:
+                         packed: bool = False,
+                         tiled_out: bool = False) -> jnp.ndarray:
     """Forward band warp with the row gather fused into the kernel.
 
     ``img_tiled`` [B, T, H'*C, L] (:func:`_tile_img_rows`), ``ymin_rows``
@@ -614,6 +615,8 @@ def warp_rows_pallas_dma(img_tiled: jnp.ndarray, ymin_rows: jnp.ndarray,
             dimension_semantics=("arbitrary", "arbitrary")),
     )(ymin_rows.astype(jnp.int32), ws.astype(jnp.int32).reshape(-1),
       ipack_tiled, fpack_tiled, img_tiled)
+    if tiled_out:
+        return out
     return jnp.moveaxis(out, 3, 4).reshape(B, Ho, T * L, C)
 
 
@@ -711,6 +714,8 @@ def _split_fused_out(outs, C: int, tiled_vjp: bool = False):
     instead of both difference tensors (one relayout pass instead of two).
     """
     B, Ho, T, _, L = outs[0].shape
+    if tiled_vjp == "all":
+        return tuple(outs)
     out = jnp.moveaxis(outs[0], 3, 4).reshape(B, Ho, T * L, C)
     if tiled_vjp:
         return out, outs[1], outs[2]
@@ -819,7 +824,8 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
 def warp_rows_pallas(bands_cw: jnp.ndarray, ws: jnp.ndarray,
                      ipack: jnp.ndarray,
                      fpack: jnp.ndarray, band: int, C: int,
-                     group: int = 16, packed: bool = False) -> jnp.ndarray:
+                     group: int = 16, packed: bool = False,
+                     tiled_out: bool = False) -> jnp.ndarray:
     """``bands_cw`` [B, Ho, band*C, W], ``ws`` [B, Ho, T] int32 window
     starts, ``ipack`` [B, Ho, 6, W] int32 (x0r, x0t, x1r, x1t, d0, d1),
     ``fpack`` [B, Ho, 4, W] (wx0, wx1, wy0, wy1) -> out [B, Ho, W, C]
@@ -863,6 +869,8 @@ def warp_rows_pallas(bands_cw: jnp.ndarray, ws: jnp.ndarray,
         grid_spec=grid_spec,
     )(ws.astype(jnp.int32).reshape(-1), ipack_tiled, fpack_tiled,
       band_tiled)
+    if tiled_out:
+        return out
     # [B, Ho, T, C, 128] -> [B, Ho, W, C]
     return jnp.moveaxis(out, 3, 4).reshape(B, Ho, W, C)
 
@@ -1001,7 +1009,8 @@ def _prep_img_dma(image, iw, band):
 
 def grid_sample_band_pallas(image: jnp.ndarray, iw: dict, band: int,
                             wx0, wx1, wy0, wy1, group: int = 16,
-                            dma: bool | None = None) -> jnp.ndarray:
+                            dma: bool | None = None,
+                            tiled_out: bool = False) -> jnp.ndarray:
     """Forward band warp with explicit corner weights (shared by the fwd pass
     and the custom-VJP difference passes). Returns NHWC f32."""
     B, H, W, C = image.shape
@@ -1019,10 +1028,10 @@ def grid_sample_band_pallas(image: jnp.ndarray, iw: dict, band: int,
         img_tiled, ymin_rows, rows, packed = _prep_img_dma(image, iw, band)
         return warp_rows_pallas_dma(img_tiled, ymin_rows, ws, ipack, fpack,
                                     rows, C, group=min(group, 8),
-                                    packed=packed)
+                                    packed=packed, tiled_out=tiled_out)
     bands_cw, rows, packed = _prep_bands(image, iw, band)
     return warp_rows_pallas(bands_cw, ws, ipack, fpack, rows, C, group=group,
-                            packed=packed)
+                            packed=packed, tiled_out=tiled_out)
 
 
 def grid_sample_band_pallas_fused(image: jnp.ndarray, iw: dict, band: int,

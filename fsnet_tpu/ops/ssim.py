@@ -74,6 +74,48 @@ def _avg_pool_same(x: jnp.ndarray, kernel_size: int, padding: int) -> jnp.ndarra
                       preferred_element_type=acc_t).astype(x.dtype)
 
 
+def _avg_pool3_tiled(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 stride-1 reflect-pad mean pool on the warp kernels' tiled layout
+    [N, Ho, T, C, L] (W = T*L lane tiles with C between): the H stencil is a
+    plain axis-1 shift; the W stencil shifts within the lane axis and stitches
+    tile-boundary columns from the neighbouring tile (reflect at the ends).
+    Equals :func:`_avg_pool_same`(k=3, p=1) on the NHWC-equivalent tensor."""
+    acc_t = jnp.promote_types(x.dtype, jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)),
+                 mode="reflect").astype(acc_t)
+    s = xp[:, :-2] + xp[:, 1:-1] + xp[:, 2:]          # H pool
+
+    # W neighbours across the (T, L) split
+    first = s[:, :, 0:1, :, 1:2]                      # reflect: w=0 -> w=1
+    left_col = jnp.concatenate([first, s[:, :, :-1, :, -1:]], axis=2)
+    sl = jnp.concatenate([left_col, s[..., :-1]], axis=-1)
+    last = s[:, :, -1:, :, -2:-1]                     # reflect: w=W-1 -> W-2
+    right_col = jnp.concatenate([s[:, :, 1:, :, 0:1], last], axis=2)
+    sr = jnp.concatenate([s[..., 1:], right_col], axis=-1)
+    out = sl + s + sr
+    return (out * jnp.asarray(1.0 / 9.0, acc_t)).astype(x.dtype)
+
+
+def ssim_target_stats_tiled(y: jnp.ndarray):
+    """Tiled-layout :func:`ssim_target_stats` (k=3, p=1)."""
+    mu_y = _avg_pool3_tiled(y)
+    sigma_y = jnp.maximum(_avg_pool3_tiled(y * y) - mu_y * mu_y, 0.0)
+    return mu_y, sigma_y
+
+
+def ssim_tiled(x: jnp.ndarray, y: jnp.ndarray, y_stats=None) -> jnp.ndarray:
+    """:func:`ssim` (k=3, p=1) on the tiled [N, Ho, T, C, L] layout."""
+    mu_x = _avg_pool3_tiled(x)
+    if y_stats is None:
+        y_stats = ssim_target_stats_tiled(y)
+    mu_y, sigma_y = y_stats
+    sigma_x = jnp.maximum(_avg_pool3_tiled(x * x) - mu_x * mu_x, 0.0)
+    sigma_xy = _avg_pool3_tiled(x * y) - mu_x * mu_y
+    ssim_n = (2.0 * mu_x * mu_y + _C1) * (2.0 * sigma_xy + _C2)
+    ssim_d = (mu_x * mu_x + mu_y * mu_y + _C1) * (sigma_x + sigma_y + _C2)
+    return jnp.clip((1.0 - ssim_n / ssim_d) / 2.0, 0.0, 1.0)
+
+
 def ssim_target_stats(y: jnp.ndarray, kernel_size: int = 3,
                       padding: int = 1):
     """Precompute the target-side pooled stats (mu_y, sigma_y) of

@@ -394,6 +394,57 @@ def grid_sample_band(image, grid, mode="bilinear", padding_mode="border",
                              min(band, H), image_grad)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _grid_sample_band_tiled(image, grid, padding_mode, band):
+    iw = _indices_and_weights(image.shape, grid, "bilinear", padding_mode,
+                              True, band)
+    from .pallas.warp_kernel import grid_sample_band_pallas
+
+    return grid_sample_band_pallas(image, iw, band, iw["wx0"], iw["wx1"],
+                                   iw["wy0"], iw["wy1"],
+                                   tiled_out=True).astype(image.dtype)
+
+
+def _fwd_tiled(image, grid, padding_mode, band):
+    from .pallas.warp_kernel import grid_sample_band_pallas_fused
+
+    iw = _indices_and_weights(image.shape, grid, "bilinear", padding_mode,
+                              True, band)
+    mx0, mx1, my0, my1 = _padding_masks(iw, padding_mode, jnp.float32)
+    out, va, vb = grid_sample_band_pallas_fused(
+        image, iw, band, iw["wx0"], iw["wx1"], iw["wy0"], iw["wy1"],
+        mx0, mx1, my0, my1, border=padding_mode == "border",
+        tiled_vjp="all")
+    return out.astype(image.dtype), (image, grid, va.astype(image.dtype),
+                                     vb.astype(image.dtype))
+
+
+def _bwd_tiled(padding_mode, band, residuals, g):
+    image, grid, va, vb = residuals
+    H, W = image.shape[1], image.shape[2]
+    B, Ho = grid.shape[0], grid.shape[1]
+    gfx = jnp.sum(g * va, axis=3).reshape(B, Ho, W)
+    gfy = jnp.sum(g * vb, axis=3).reshape(B, Ho, W)
+    return (jnp.zeros_like(image),
+            _chain_to_grid(grid, gfx, gfy, H, W, padding_mode, True,
+                           g.dtype))
+
+
+_grid_sample_band_tiled.defvjp(_fwd_tiled, _bwd_tiled)
+
+
+def grid_sample_band_tiled(image, grid, padding_mode="border", band=8):
+    """Photometric warp that returns the Pallas kernels' native tiled layout
+    ``[B, Ho, W//L, C, L]`` (bilinear, align_corners=True, image treated as
+    constant), skipping the NHWC relayout of (out, va, vb) entirely. Callers
+    consume the tiled layout directly (``ops.ssim.ssim_tiled``); the
+    channel-reduced loss reshapes back to [B, Ho, W] for free. Only valid
+    when :func:`scale_batched_warp_is_fused` holds."""
+    assert _use_pallas(image.shape, grid.shape), "tiled warp needs Pallas"
+    return _grid_sample_band_tiled(image, grid, padding_mode,
+                                   min(band, image.shape[1]))
+
+
 def grid_sample(image, grid, mode="bilinear", padding_mode="border",
                 align_corners=True, impl="band", band=16, image_grad=False):
     """Dispatcher: ``impl='band'`` (TPU-fast, default; image treated as

@@ -262,3 +262,37 @@ def test_pallas_band4_all_paths():
     o, va, vb = wk.grid_sample_band_pallas_fused(
         img, *fargs, mx0, mx1, my0, my1, border=True)
     np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.heavy
+def test_tiled_loss_matches_nhwc(monkeypatch):
+    """FSNET_TILED_LOSS: the tiled-layout photometric loss (tiled warp out +
+    tiled SSIM/L1) must match the NHWC path to f32 reassociation noise —
+    loss value and parameter gradients — on the full flagship model."""
+    import fsnet_tpu.models.heads.monodepth2_decoder as md
+    import fsnet_tpu.ops.warp_fast as wf
+    from fsnet_tpu.models import MonoDepthWPose
+    from test_models import _flagship_cfg, _synthetic_batch
+
+    monkeypatch.setattr(wf, "_use_pallas", lambda *a: True)
+    model = MonoDepthWPose(**_flagship_cfg())
+    batch = _synthetic_batch(np.random.RandomState(0), batch=1)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "loss_noise": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, batch, {"is_training": True})
+
+    def lossfn(params, tiled):
+        monkeypatch.setattr(md, "TILED_LOSS", tiled)
+        out, _ = model.apply({**variables, "params": params}, batch,
+                             {"is_training": True},
+                             rngs={"loss_noise": jax.random.PRNGKey(1)},
+                             mutable=["batch_stats"])
+        return out["loss"]
+
+    p = variables["params"]
+    l0, g0 = jax.value_and_grad(lambda q: lossfn(q, False))(p)
+    l1, g1 = jax.value_and_grad(lambda q: lossfn(q, True))(p)
+    assert abs(float(l0) - float(l1)) < 1e-6
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
