@@ -142,6 +142,12 @@ timed("ssim: banded-matmul pooling")
 ssim_m.SSIM_STENCIL = True
 timed("ssim: shifted-adds stencil pooling")
 
+# --- 5c: tiled-layout photometric loss A/B (md imported in section 4) --------
+md.TILED_LOSS = True
+timed("tiled loss (no NHWC relayout)")
+md.TILED_LOSS = False
+timed("nhwc loss (baseline)")
+
 # --- 5b: space-to-depth stem A/B ---------------------------------------------
 import fsnet_tpu.models.backbones.resnet as rn
 
