@@ -108,12 +108,15 @@ class MonoDepth2Decoder(nn.Module):
     photometric_net_grad_weight: float = 0.05
     # TPU warp implementation: 'band' (fast, MXU two-hot) or 'gather' (exact
     # reference formulation for arbitrary warps) — see ops/warp_fast.py.
-    # band=8 default: the 300-step convergence probe (realistic KITTI
-    # motion) shows band-8 tracking the exact-warp oracle (AbsRel 0.130 vs
-    # 0.134 bf16) while cutting the warp kernels' dominant sublane rows —
-    # +15% full-step throughput vs band=16 (BASELINE.md).
+    # band=4 default: 300-step convergence probes (realistic KITTI motion,
+    # bf16) land band4 at AbsRel 0.128 vs band6 0.134 / band8 0.131 /
+    # exact-gather oracles 0.13-0.17 across runs — indistinguishable from
+    # the exact warp — while the warp kernels' dominant [band*C, L] fields
+    # shrink to a single vreg (BASELINE.md, "Warp band size"). Vertical
+    # reach is 4 source rows per output row; configs with aggressive pitch
+    # motion can override warp_band per-head.
     warp_impl: str = "band"
-    warp_band: int = 8
+    warp_band: int = 4
 
     def setup(self):
         assert self.depth_decoder_cfg is not None, "depth_decoder_cfg required"
