@@ -100,6 +100,17 @@ BORDER_FAST = _os_dynws.environ.get("FSNET_BORDER_FAST", "1") != "0"
 #: consumers were bf16 anyway). ``FSNET_BF16_OUT=0`` restores f32 stores.
 BF16_OUT = _os_dynws.environ.get("FSNET_BF16_OUT", "1") != "0"
 
+#: Pack the fused kernels' per-pixel index fields (x0r, x0t, d0, x1r, x1t,
+#: d1 + the four zeros-padding corner-validity bits) into ONE s32 word and
+#: ship only the two RAW bilinear fractions (fx, fy) as f32 rows; the
+#: kernels unpack with [1, L] shift/and ops and reconstruct the corner
+#: weights as (1-f)*m / f*m. Cuts the XLA-side prep from a 6-row s32 stack
+#: + 4-8-row f32 stack (the profiler showed the s32 concatenate alone at
+#: ~1.5 ms/step in T(1,128)-padded layouts) to one fused s32 output + 2 f32
+#: rows. Fused-kernel path only; the two-pass backward and forward-only
+#: kernels keep the row layout. ``FSNET_PACK_IDX=0`` restores the rows.
+PACK_IDX = _os_dynws.environ.get("FSNET_PACK_IDX", "1") != "0"
+
 #: A/B toggle (DMA kernels): gather each corner from the whole 3-tile window
 #: in ONE multi-granule dynamic_gather over the contiguous scratch slice
 #: ``scr[.., ws:ws+3]`` (one compare + one multiply + a 2-add fold select the
@@ -112,16 +123,42 @@ BF16_OUT = _os_dynws.environ.get("FSNET_BF16_OUT", "1") != "0"
 STACK_WIN = _os_dynws.environ.get("FSNET_STACK_WIN", "0") != "0"
 
 
-def _gather_corners(ipack_ref, src_of, g, u, T, KL, L):
+def _read_idx(ipack_ref, g, u, packed_idx: bool, with_masks: bool):
+    """Per-tile index rows, each [1, L]: (x0r, x0t, x1r, x1t, d0, d1, masks).
+
+    ``packed_idx``: the six fields (+ the four corner-validity bits when
+    ``with_masks``) arrive packed in ONE s32 word per pixel —
+    x0r|x0t<<7|d0<<9|x1r<<14|x1t<<21|d1<<23|mx0<<28|mx1<<29|my0<<30|my1<<31
+    — and are unpacked here with [1, L] shift/and ops (arithmetic shift +
+    mask reads any field exactly regardless of the sign bit). Otherwise the
+    legacy 6-row layout is read directly (masks ride fpack there)."""
+    if not packed_idx:
+        rows = tuple(ipack_ref[0, g, u, i:i + 1, :] for i in range(6))
+        return rows + (None,)
+    w = ipack_ref[0, g, u, 0:1, :]
+    x0r = w & 127
+    x0t = (w >> 7) & 3
+    d0 = (w >> 9) & 31
+    x1r = (w >> 14) & 127
+    x1t = (w >> 21) & 3
+    d1 = (w >> 23) & 31
+    masks = None
+    if with_masks:
+        masks = tuple((w >> b) & 1 for b in (28, 29, 30, 31))
+    return x0r, x0t, x1r, x1t, d0, d1, masks
+
+
+def _gather_corners(idx_rows, src_of, T, KL, L):
     """Shared corner gathers: one single-tile dynamic_gather per
     (corner, window tile), combined by window-relative select masks.
-    ``src_of(t)`` yields the [KL, L] channel-major source tile at window
-    offset ``t`` (the caller resolves the data-dependent window start from
-    the prefetched ``ws`` array — a VMEM block read or a DMA scratch read)."""
-    x0r = jnp.broadcast_to(ipack_ref[0, g, u, 0:1, :], (KL, L))
-    x0t = jnp.broadcast_to(ipack_ref[0, g, u, 1:2, :], (KL, L))
-    x1r = jnp.broadcast_to(ipack_ref[0, g, u, 2:3, :], (KL, L))
-    x1t = jnp.broadcast_to(ipack_ref[0, g, u, 3:4, :], (KL, L))
+    ``idx_rows`` = (x0r, x0t, x1r, x1t) [1, L] rows; ``src_of(t)`` yields
+    the [KL, L] channel-major source tile at window offset ``t`` (the
+    caller resolves the data-dependent window start from the prefetched
+    ``ws`` array — a VMEM block read or a DMA scratch read)."""
+    x0r = jnp.broadcast_to(idx_rows[0], (KL, L))
+    x0t = jnp.broadcast_to(idx_rows[1], (KL, L))
+    x1r = jnp.broadcast_to(idx_rows[2], (KL, L))
+    x1t = jnp.broadcast_to(idx_rows[3], (KL, L))
 
     kw = min(_WINDOW, T)
     g0 = g1 = None
@@ -136,16 +173,16 @@ def _gather_corners(ipack_ref, src_of, g, u, T, KL, L):
     return g0, g1
 
 
-def _gather_corners_win(ipack_ref, win, g, u, kw, KLF, KL, L):
+def _gather_corners_win(idx_rows, win, kw, KLF, KL, L):
     """STACK_WIN corner gathers: ``win`` is the whole kw-tile window
     [kw*KLF, L] (contiguous scratch slice); one multi-granule gather per
     corner, tile selection via a single block-id compare, window fold as a
     kw-way sublane-block sum. Returns (g0, g1) [KL, L] (pad rows dropped)."""
     R = kw * KLF
-    x0r = jnp.broadcast_to(ipack_ref[0, g, u, 0:1, :], (R, L))
-    x0t = jnp.broadcast_to(ipack_ref[0, g, u, 1:2, :], (R, L))
-    x1r = jnp.broadcast_to(ipack_ref[0, g, u, 2:3, :], (R, L))
-    x1t = jnp.broadcast_to(ipack_ref[0, g, u, 3:4, :], (R, L))
+    x0r = jnp.broadcast_to(idx_rows[0], (R, L))
+    x0t = jnp.broadcast_to(idx_rows[1], (R, L))
+    x1r = jnp.broadcast_to(idx_rows[2], (R, L))
+    x1t = jnp.broadcast_to(idx_rows[3], (R, L))
     blk = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0) // KLF
     s0 = jnp.take_along_axis(win, x0r, axis=1) * (blk == x0t).astype(
         win.dtype)
@@ -214,25 +251,61 @@ def _make_ipack(iw: dict, W: int, L: int):
     return ipack, ws
 
 
+def _make_ipack_packed(iw: dict, W: int, L: int, with_masks: bool):
+    """:func:`_make_ipack` with the six index fields (and, when
+    ``with_masks``, the four zeros-padding corner-validity bits) packed into
+    ONE s32 word per pixel -> [B, Ho, 1, W] + ``ws``. Field layout matches
+    :func:`_read_idx`; the stack/concatenate of six T(1,128)-padded s32 rows
+    (~1.5 ms/step on the profiler) collapses to one fused bit-or output."""
+    T = W // L
+    x0, x1 = iw["x0c"], iw["x1c"]
+    B, Ho, Wo = x0.shape
+    kw = min(_WINDOW, T)
+    assert Wo == W, (Wo, W)
+    if DYN_WS:
+        hi = jnp.max(x1.reshape(B, Ho, T, L), axis=3) // L   # [B, Ho, T]
+        ws = jnp.clip(hi - (kw - 1), 0, T - kw).astype(jnp.int32)
+    else:
+        ws = jnp.broadcast_to(
+            jnp.clip(jnp.arange(T, dtype=jnp.int32) - 1, 0, T - kw),
+            (B, Ho, T))
+    wsx = jnp.broadcast_to(ws[..., None], (B, Ho, T, L)).reshape(B, Ho, W)
+    lo = wsx * L
+    hi_clip = (wsx + kw) * L - 1
+    x0w = jnp.clip(x0, lo, hi_clip)
+    x1w = jnp.clip(x1, lo, hi_clip)
+    word = (
+        (x0w % L)
+        | ((x0w // L - wsx) << 7)
+        | (iw["d0"].astype(jnp.int32) << 9)
+        | ((x1w % L) << 14)
+        | ((x1w // L - wsx) << 21)
+        | (iw["d1"].astype(jnp.int32) << 23)
+    )
+    if with_masks:
+        for bit, key in ((28, "vx0"), (29, "vx1"), (30, "vy0"), (31, "vy1")):
+            word = word | (iw[key].astype(jnp.int32) << bit)
+    return word[:, :, None, :], ws
+
+
 def _fwd_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L, packed,
               fold=False, win=None, KLF=None):
     """One output lane tile of the forward warp -> [C, L]."""
     KL = band * C
+    x0r, x0t, x1r, x1t, d0, d1, _ = _read_idx(ipack_ref, g, u, False, False)
     if win is not None:
-        g0, g1 = _gather_corners_win(ipack_ref, win, g, u, min(_WINDOW, T),
-                                     KLF, KL, L)
+        g0, g1 = _gather_corners_win((x0r, x0t, x1r, x1t), win,
+                                     min(_WINDOW, T), KLF, KL, L)
     elif fold:
         g0, g1 = _gather_corners_fold(ipack_ref, fpack_ref, src_of, g, u, T,
                                       KL, L, frow0=4)
     else:
-        g0, g1 = _gather_corners(ipack_ref, src_of, g, u, T, KL, L)
+        g0, g1 = _gather_corners((x0r, x0t, x1r, x1t), src_of, T, KL, L)
 
     fx0 = fpack_ref[0, g, u, 0:1, :]
     fx1 = fpack_ref[0, g, u, 1:2, :]
     fy0 = fpack_ref[0, g, u, 2:3, :]
     fy1 = fpack_ref[0, g, u, 3:4, :]
-    d0 = ipack_ref[0, g, u, 4:5, :]
-    d1 = ipack_ref[0, g, u, 5:6, :]
     dp = jax.lax.broadcasted_iota(jnp.int32, (KL, L), 0) // C
     if packed:
         g0h, g0l = _unpack_pair(g0)
@@ -249,7 +322,8 @@ def _fwd_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L, packed,
 
 
 def _fused_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L,
-                packed, fold=False, border=False, win=None, KLF=None):
+                packed, fold=False, border=False, win=None, KLF=None,
+                packed_idx=False):
     """Forward AND both difference passes for one output lane tile ->
     (out, va, vb) each [C, L], sharing one set of corner gathers.
 
@@ -262,6 +336,12 @@ def _fused_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L,
     at ~45% extra VPU work here; the backward becomes an XLA contraction
     ``gfx = sum_c gcot*va``.
 
+    Under ``packed_idx`` (:data:`PACK_IDX`) fpack is just the two RAW
+    bilinear fractions (fx, fy); the corner weights are reconstructed as
+    wx0 = (1-fx)*mx0, wx1 = fx*mx1 (identical to the XLA-side pre-folded
+    weights) with the masks unpacked from the index word — or skipped under
+    ``border`` where every mask is one.
+
     Under ``fold`` (:data:`FOLD_WIN`) the fpack rows are instead
     (wx0, wx1, wy0, wy1, q00, q01, q02, q10, q11, q12): the window one-hots
     carry the x-validity masks (so ``b = g1 - g0`` directly) and invalid-y
@@ -273,29 +353,43 @@ def _fused_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L,
     mask rows and their multiplies drop out (``b = g1 - g0``,
     ``wq = is1 - is0``), exactly the general path evaluated at m*=1."""
     KL = band * C
+    x0r, x0t, x1r, x1t, d0, d1, bitmasks = _read_idx(
+        ipack_ref, g, u, packed_idx, packed_idx and not border)
     if win is not None and not fold:
         # (fold carries x-validity in its fpack one-hots, which the stacked
         # gather's pure ipack compares would drop — mutually exclusive)
-        g0, g1 = _gather_corners_win(ipack_ref, win, g, u, min(_WINDOW, T),
-                                     KLF, KL, L)
+        g0, g1 = _gather_corners_win((x0r, x0t, x1r, x1t), win,
+                                     min(_WINDOW, T), KLF, KL, L)
     elif fold:
         g0, g1 = _gather_corners_fold(ipack_ref, fpack_ref, src_of, g, u, T,
                                       KL, L, frow0=4)
     else:
-        g0, g1 = _gather_corners(ipack_ref, src_of, g, u, T, KL, L)
+        g0, g1 = _gather_corners((x0r, x0t, x1r, x1t), src_of, T, KL, L)
 
-    wx0 = fpack_ref[0, g, u, 0:1, :]
-    wx1 = fpack_ref[0, g, u, 1:2, :]
-    wy0 = fpack_ref[0, g, u, 2:3, :]
-    wy1 = fpack_ref[0, g, u, 3:4, :]
+    if packed_idx:
+        fdt = fpack_ref.dtype
+        fx = fpack_ref[0, g, u, 0:1, :]
+        fy = fpack_ref[0, g, u, 1:2, :]
+        wx0, wx1 = 1.0 - fx, fx
+        wy0, wy1 = 1.0 - fy, fy
+        if not border:
+            mx0 = bitmasks[0].astype(fdt)
+            mx1 = bitmasks[1].astype(fdt)
+            my0 = bitmasks[2].astype(fdt)
+            my1 = bitmasks[3].astype(fdt)
+            wx0, wx1 = wx0 * mx0, wx1 * mx1
+            wy0, wy1 = wy0 * my0, wy1 * my1
+    else:
+        wx0 = fpack_ref[0, g, u, 0:1, :]
+        wx1 = fpack_ref[0, g, u, 1:2, :]
+        wy0 = fpack_ref[0, g, u, 2:3, :]
+        wy1 = fpack_ref[0, g, u, 3:4, :]
     unmasked = fold or border
-    if not unmasked:
+    if not unmasked and not packed_idx:
         mx0 = fpack_ref[0, g, u, 4:5, :]
         mx1 = fpack_ref[0, g, u, 5:6, :]
         my0 = fpack_ref[0, g, u, 6:7, :]
         my1 = fpack_ref[0, g, u, 7:8, :]
-    d0 = ipack_ref[0, g, u, 4:5, :]
-    d1 = ipack_ref[0, g, u, 5:6, :]
     dp = jax.lax.broadcasted_iota(jnp.int32, (KL, L), 0) // C
     if packed:
         g0h, g0l = _unpack_pair(g0)
@@ -341,7 +435,7 @@ def _fused_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L,
 
 def _kernel_fused(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, va_ref,
                   vb_ref, *, G, T, band, C, L, packed, Ho, fold=False,
-                  border=False):
+                  border=False, packed_idx=False):
     """Fused fwd+vjp kernel; three whole-block outputs (out, va, vb) —
     partial sublane-slice stores at non-vreg-aligned offsets wedge the
     Mosaic compile, so each result gets its own ref."""
@@ -353,7 +447,7 @@ def _kernel_fused(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, va_ref,
             o, va, vb = _fused_tile(
                 ipack_ref, fpack_ref, lambda t: band_ref[0, g, ws + t], g, u,
                 T=T, band=band, C=C, L=L, packed=packed, fold=fold,
-                border=border)
+                border=border, packed_idx=packed_idx)
             out_ref[0, g, u] = o.astype(out_ref.dtype)
             va_ref[0, g, u] = va.astype(va_ref.dtype)
             vb_ref[0, g, u] = vb.astype(vb_ref.dtype)
@@ -362,7 +456,7 @@ def _kernel_fused(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, va_ref,
 def _kernel_dma_fused(ymin_ref, ws_ref, ipack_ref, fpack_ref, img_ref,
                       out_ref, va_ref, vb_ref, scr, sems, *, G, T, band, C,
                       L, packed, NI, Ho, fold=False, border=False,
-                      stack=False):
+                      stack=False, packed_idx=False):
     """Fused fwd+vjp kernel with the band row-gather as double-buffered DMA
     (see :func:`_kernel_dma`)."""
     KLF = scr.shape[3]
@@ -377,7 +471,7 @@ def _kernel_dma_fused(ymin_ref, ws_ref, ipack_ref, fpack_ref, img_ref,
             o, va, vb = _fused_tile(
                 ipack_ref, fpack_ref, lambda t: scr[slot, g, ws + t], g, u,
                 T=T, band=band, C=C, L=L, packed=packed, fold=fold,
-                border=border, win=win, KLF=KLF)
+                border=border, win=win, KLF=KLF, packed_idx=packed_idx)
             out_ref[0, g, u] = o.astype(out_ref.dtype)
             va_ref[0, g, u] = va.astype(va_ref.dtype)
             vb_ref[0, g, u] = vb.astype(vb_ref.dtype)
@@ -432,10 +526,9 @@ def _kernel_bwd(ws_ref, ipack_ref, fpack_ref, band_ref, gcot_ref, out_ref, *,
 def _bwd_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L, packed):
     """Both difference passes for one output lane tile -> (va, vb) [C, L]."""
     KL = band * C
-    g0, g1 = _gather_corners(ipack_ref, src_of, g, u, T, KL, L)
+    x0r, x0t, x1r, x1t, d0, d1, _ = _read_idx(ipack_ref, g, u, False, False)
+    g0, g1 = _gather_corners((x0r, x0t, x1r, x1t), src_of, T, KL, L)
 
-    d0 = ipack_ref[0, g, u, 4:5, :]
-    d1 = ipack_ref[0, g, u, 5:6, :]
     fxa0 = fpack_ref[0, g, u, 0:1, :]
     fxa1 = fpack_ref[0, g, u, 1:2, :]
     fya0 = fpack_ref[0, g, u, 2:3, :]
@@ -726,7 +819,8 @@ def _split_fused_out(outs, C: int, tiled_vjp: bool = False):
 def warp_rows_pallas_fused(bands_cw: jnp.ndarray, ws: jnp.ndarray,
                            ipack: jnp.ndarray, fpack8: jnp.ndarray,
                            band: int, C: int, group: int = 16,
-                           packed: bool = False, tiled_vjp: bool = False):
+                           packed: bool = False, tiled_vjp: bool = False,
+                           border: bool = False):
     """Fused fwd+vjp on a materialized band tensor (non-DMA fallback);
     returns (out, va, vb) each [B, Ho, W, C]."""
     B, Ho, KL, W = bands_cw.shape
@@ -741,16 +835,17 @@ def warp_rows_pallas_fused(bands_cw: jnp.ndarray, ws: jnp.ndarray,
     ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
     fpack_tiled = _tile_w(fpack8.astype(bands_cw.dtype), T, L)
     F = fpack_tiled.shape[3]
+    I = ipack_tiled.shape[3]
 
     kernel = functools.partial(_kernel_fused, G=G, T=T, band=band, C=C, L=L,
                                packed=packed, Ho=Ho, fold=F > 8,
-                               border=F == 4)
+                               border=border or F == 4, packed_idx=I == 1)
     odt = jnp.bfloat16 if (packed and BF16_OUT) else bands_cw.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Ho // G),
         in_specs=[
-            pl.BlockSpec((1, G, T, 6, L), lambda n, h, *_: (n, h, 0, 0, 0),
+            pl.BlockSpec((1, G, T, I, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, T, F, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -773,7 +868,8 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
                                ymin_rows: jnp.ndarray, ws: jnp.ndarray,
                                ipack: jnp.ndarray, fpack8: jnp.ndarray,
                                band: int, C: int, group: int = 8,
-                               packed: bool = False, tiled_vjp: bool = False):
+                               packed: bool = False, tiled_vjp: bool = False,
+                               border: bool = False):
     """Fused fwd+vjp with the band row-gather as double-buffered DMA;
     returns (out, va, vb) each [B, Ho, W, C]."""
     NI, T, HC, L = img_tiled.shape
@@ -786,16 +882,18 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
     ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
     fpack_tiled = _tile_w(fpack8.astype(img_tiled.dtype), T, L)
     F = fpack_tiled.shape[3]
+    I = ipack_tiled.shape[3]
 
     kernel = functools.partial(_kernel_dma_fused, G=G, T=T, band=band, C=C,
                                L=L, packed=packed, NI=NI, Ho=Ho, fold=F > 8,
-                               border=F == 4, stack=stack)
+                               border=border or F == 4, stack=stack,
+                               packed_idx=I == 1)
     odt = jnp.bfloat16 if (packed and BF16_OUT) else img_tiled.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Ho // G),
         in_specs=[
-            pl.BlockSpec((1, G, T, 6, L), lambda n, h, *_: (n, h, 0, 0, 0),
+            pl.BlockSpec((1, G, T, I, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, T, F, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1050,6 +1148,22 @@ def grid_sample_band_pallas_fused(image: jnp.ndarray, iw: dict, band: int,
     B, H, W, C = image.shape
     f32 = jnp.float32
     L = W if W <= _LANE else _LANE
+    if PACK_IDX and not FOLD_WIN and "fx" in iw:
+        # one s32 index word (+ validity bits) and just the raw fractions;
+        # the kernels reconstruct the corner weights (see _fused_tile)
+        ipack, ws = _make_ipack_packed(iw, W, L, with_masks=not border)
+        fpack8 = jnp.stack([iw["fx"], iw["fy"]], axis=2).astype(f32)
+        if DMA_GATHER if dma is None else dma:
+            img_tiled, ymin_rows, rows, packed = _prep_img_dma(image, iw,
+                                                               band)
+            return warp_rows_pallas_dma_fused(
+                img_tiled, ymin_rows, ws, ipack, fpack8, rows, C,
+                group=min(group, 8), packed=packed, tiled_vjp=tiled_vjp,
+                border=border)
+        bands_cw, rows, packed = _prep_bands(image, iw, band)
+        return warp_rows_pallas_fused(
+            bands_cw, ws, ipack, fpack8, rows, C, group=group, packed=packed,
+            tiled_vjp=tiled_vjp, border=border)
     ipack, ws = _make_ipack(iw, W, L)
     if border and BORDER_FAST and not FOLD_WIN:
         fpack8 = jnp.stack([wx0, wx1, wy0, wy1], axis=2).astype(f32)

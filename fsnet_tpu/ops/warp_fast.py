@@ -77,6 +77,8 @@ def _indices_and_weights(image_shape, grid, mode, padding_mode, align_corners,
     if mode == "nearest":
         x0f = jnp.floor(x + 0.5)
         y0f = jnp.floor(y + 0.5)
+        fx = jnp.zeros_like(x)
+        fy = jnp.zeros_like(y)
         wx0 = jnp.ones_like(x)
         wx1 = jnp.zeros_like(x)
         wy0 = jnp.ones_like(y)
@@ -112,8 +114,11 @@ def _indices_and_weights(image_shape, grid, mode, padding_mode, align_corners,
     d0 = jnp.clip(y0c - ymin[:, :, None], 0, band - 1)
     d1 = jnp.clip(y1c - ymin[:, :, None], 0, band - 1)
 
+    # fx/fy: RAW bilinear fractions (no zeros-padding fold) — the packed-
+    # index Pallas path ships only these and reconstructs w*/m* in-kernel
     return dict(x0c=x0c, x1c=x1c, d0=d0, d1=d1, wx0=wx0, wx1=wx1, wy0=wy0,
-                wy1=wy1, vx0=vx0, vx1=vx1, vy0=vy0, vy1=vy1, ymin=ymin)
+                wy1=wy1, vx0=vx0, vx1=vx1, vy0=vy0, vy1=vy1, ymin=ymin,
+                fx=fx, fy=fy)
 
 
 def _gather_bands(image, ymin, band):
