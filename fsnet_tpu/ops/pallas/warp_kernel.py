@@ -129,13 +129,15 @@ def _read_idx(ipack_ref, g, u, packed_idx: bool, with_masks: bool):
     ``packed_idx``: the six fields (+ the four corner-validity bits when
     ``with_masks``) arrive packed in ONE s32 word per pixel —
     x0r|x0t<<7|d0<<9|x1r<<14|x1t<<21|d1<<23|mx0<<28|mx1<<29|my0<<30|my1<<31
-    — and are unpacked here with [1, L] shift/and ops (arithmetic shift +
-    mask reads any field exactly regardless of the sign bit). Otherwise the
-    legacy 6-row layout is read directly (masks ride fpack there)."""
+    — in a rank-4 [1, G, T, L] block that is a PURE RESHAPE of the natural
+    [B, Ho, W] layout (no relayout copy), and are unpacked here with [1, L]
+    shift/and ops (arithmetic shift + mask reads any field exactly
+    regardless of the sign bit). Otherwise the legacy rank-5 6-row layout
+    is read directly (masks ride fpack there)."""
     if not packed_idx:
         rows = tuple(ipack_ref[0, g, u, i:i + 1, :] for i in range(6))
         return rows + (None,)
-    w = ipack_ref[0, g, u, 0:1, :]
+    w = ipack_ref[0, g, u:u + 1, :]
     x0r = w & 127
     x0t = (w >> 7) & 3
     d0 = (w >> 9) & 31
@@ -254,9 +256,11 @@ def _make_ipack(iw: dict, W: int, L: int):
 def _make_ipack_packed(iw: dict, W: int, L: int, with_masks: bool):
     """:func:`_make_ipack` with the six index fields (and, when
     ``with_masks``, the four zeros-padding corner-validity bits) packed into
-    ONE s32 word per pixel -> [B, Ho, 1, W] + ``ws``. Field layout matches
+    ONE s32 word per pixel -> [B, Ho, W] + ``ws``. Field layout matches
     :func:`_read_idx`; the stack/concatenate of six T(1,128)-padded s32 rows
-    (~1.5 ms/step on the profiler) collapses to one fused bit-or output."""
+    (~1.5 ms/step on the profiler) collapses to one fused bit-or output in
+    the natural [B, Ho, W] layout, which the wrappers reshape (purely) to
+    the kernels' [B, Ho, T, L] block shape."""
     T = W // L
     x0, x1 = iw["x0c"], iw["x1c"]
     B, Ho, Wo = x0.shape
@@ -285,7 +289,7 @@ def _make_ipack_packed(iw: dict, W: int, L: int, with_masks: bool):
     if with_masks:
         for bit, key in ((28, "vx0"), (29, "vx1"), (30, "vy0"), (31, "vy1")):
             word = word | (iw[key].astype(jnp.int32) << bit)
-    return word[:, :, None, :], ws
+    return word, ws
 
 
 def _fwd_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L, packed,
@@ -368,8 +372,8 @@ def _fused_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L,
 
     if packed_idx:
         fdt = fpack_ref.dtype
-        fx = fpack_ref[0, g, u, 0:1, :]
-        fy = fpack_ref[0, g, u, 1:2, :]
+        fx = fpack_ref[0, g, 0:1, u, :]
+        fy = fpack_ref[0, g, 1:2, u, :]
         wx0, wx1 = 1.0 - fx, fx
         wy0, wy1 = 1.0 - fy, fy
         if not border:
@@ -770,6 +774,36 @@ def _tile_w(x: jnp.ndarray, T: int, L: int) -> jnp.ndarray:
     return jnp.moveaxis(x.reshape(B, Ho, K, T, L), 3, 2)
 
 
+def _pack_specs(ipack, fpack, fdt, B, Ho, T, L, G):
+    """(ipack_tiled, fpack_tiled, ipack BlockSpec, fpack BlockSpec) for the
+    fused kernels' two index/weight operands.
+
+    PACK_IDX layout (ipack is the rank-3 [B, Ho, W] index word): both
+    operands become PURE RESHAPES of their natural [B, Ho, W]-major layouts
+    — iword [B, Ho, T, L] and fpack [B, Ho, 2, T, L] — so no relayout copy
+    is materialized (the legacy rank-4 row layouts forced per-field
+    T(1,128) copies worth ~2 ms/step at the KITTI recipe). Legacy layout:
+    the usual :func:`_tile_w` transposes."""
+    if ipack.ndim == 3:
+        ipack_tiled = ipack.astype(jnp.int32).reshape(B, Ho, T, L)
+        fpack_tiled = fpack.astype(fdt).reshape(B, Ho, 2, T, L)
+        ispec = pl.BlockSpec((1, G, T, L), lambda n, h, *_: (n, h, 0, 0),
+                             memory_space=pltpu.VMEM)
+        fspec = pl.BlockSpec((1, G, 2, T, L),
+                             lambda n, h, *_: (n, h, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        return ipack_tiled, fpack_tiled, ispec, fspec
+    ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
+    fpack_tiled = _tile_w(fpack.astype(fdt), T, L)
+    ispec = pl.BlockSpec((1, G, T, ipack_tiled.shape[3], L),
+                         lambda n, h, *_: (n, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((1, G, T, fpack_tiled.shape[3], L),
+                         lambda n, h, *_: (n, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return ipack_tiled, fpack_tiled, ispec, fspec
+
+
 def _stack_pad(img_tiled: jnp.ndarray, KL: int):
     """(img_tiled', KLF, stack): under :data:`STACK_WIN`, round the scratch
     band up to whole 8-sublane granules (so the kw-tile window slice reshapes
@@ -832,23 +866,23 @@ def warp_rows_pallas_fused(bands_cw: jnp.ndarray, ws: jnp.ndarray,
     G = max(group, 1)
 
     band_tiled = _tile_w(bands_cw, T, L)
-    ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
-    fpack_tiled = _tile_w(fpack8.astype(bands_cw.dtype), T, L)
-    F = fpack_tiled.shape[3]
-    I = ipack_tiled.shape[3]
+    ipack_tiled, fpack_tiled, ispec, fspec = _pack_specs(
+        ipack, fpack8, bands_cw.dtype, B, Ho, T, L, G)
+    packed_idx = ipack_tiled.ndim == 4
+    F = 2 if packed_idx else fpack_tiled.shape[3]
 
     kernel = functools.partial(_kernel_fused, G=G, T=T, band=band, C=C, L=L,
-                               packed=packed, Ho=Ho, fold=F > 8,
-                               border=border or F == 4, packed_idx=I == 1)
+                               packed=packed, Ho=Ho,
+                               fold=not packed_idx and F > 8,
+                               border=border or (not packed_idx and F == 4),
+                               packed_idx=packed_idx)
     odt = jnp.bfloat16 if (packed and BF16_OUT) else bands_cw.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Ho // G),
         in_specs=[
-            pl.BlockSpec((1, G, T, I, L), lambda n, h, *_: (n, h, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, F, L), lambda n, h, *_: (n, h, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            ispec,
+            fspec,
             pl.BlockSpec((1, G, T, KL, L), lambda n, h, *_: (n, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -879,24 +913,23 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
     img_tiled, KLF, stack = _stack_pad(img_tiled, KL)
     G = _dma_group(group, Ho, T, KLF, L, img_tiled.dtype.itemsize)
 
-    ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
-    fpack_tiled = _tile_w(fpack8.astype(img_tiled.dtype), T, L)
-    F = fpack_tiled.shape[3]
-    I = ipack_tiled.shape[3]
+    ipack_tiled, fpack_tiled, ispec, fspec = _pack_specs(
+        ipack, fpack8, img_tiled.dtype, B, Ho, T, L, G)
+    packed_idx = ipack_tiled.ndim == 4
+    F = 2 if packed_idx else fpack_tiled.shape[3]
 
     kernel = functools.partial(_kernel_dma_fused, G=G, T=T, band=band, C=C,
-                               L=L, packed=packed, NI=NI, Ho=Ho, fold=F > 8,
-                               border=border or F == 4, stack=stack,
-                               packed_idx=I == 1)
+                               L=L, packed=packed, NI=NI, Ho=Ho,
+                               fold=not packed_idx and F > 8,
+                               border=border or (not packed_idx and F == 4),
+                               stack=stack, packed_idx=packed_idx)
     odt = jnp.bfloat16 if (packed and BF16_OUT) else img_tiled.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Ho // G),
         in_specs=[
-            pl.BlockSpec((1, G, T, I, L), lambda n, h, *_: (n, h, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, T, F, L), lambda n, h, *_: (n, h, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            ispec,
+            fspec,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[pl.BlockSpec((1, G, T, C, L),

@@ -35,3 +35,14 @@ for _ in range(4):
 float(metrics["loss"])
 jax.profiler.stop_trace()
 print("trace ->", OUT)
+
+# also dump the optimized TPU HLO for fusion forensics
+try:
+    import inspect
+    lowered = jax.jit(step, donate_argnums=()).lower(state, batch, rng)
+    txt = lowered.compile().as_text()
+    with open(os.path.join(OUT, "optimized_hlo.txt"), "w") as f:
+        f.write(txt)
+    print("hlo ->", os.path.join(OUT, "optimized_hlo.txt"), len(txt))
+except Exception as e:
+    print("hlo dump failed:", e)
