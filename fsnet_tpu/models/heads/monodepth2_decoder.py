@@ -369,13 +369,28 @@ class MonoDepth2Decoder(nn.Module):
             if noise_rng is not None:
                 identity = identity + jax.random.normal(
                     noise_rng, identity.shape, identity.dtype) * 1e-5
+            # The identity min is scale-independent: pre-min it over F once
+            # and concat a single [S, 1, ...] candidate row instead of
+            # broadcasting the full [S, F, ...] identity stack into a
+            # [S, 2F, B, H, W] tensor (same value — min is associative; the
+            # reference's argmin-tie routing is covered by the 1e-5 noise).
+            # NOTE: do NOT restructure further into
+            # ``minimum(min(proj, axis=1), identity_min)`` — that form is
+            # value-identical but NaN-poisons the backward on TPU bf16 at
+            # step 0 (every grad leaf 100% NaN; probed round 3, cause in the
+            # XLA fusion of the two-stage min's select chain, not the math —
+            # the single fused reduce below is clean).
+            identity_min = jnp.min(identity, axis=0)          # [B, H, W]
             combined = jnp.concatenate(
-                [jnp.broadcast_to(identity[None], (S, F, B, H, W)), proj_loss],
-                axis=1)  # [S, 2F, B, H, W]
+                [jnp.broadcast_to(identity_min[None, None],
+                                  (S, 1, B, H, W)), proj_loss], axis=1)
             to_opt = jnp.min(combined, axis=1)
             if self.is_log_image:
-                idxs = jnp.argmin(combined, axis=1)
-                hm["loss_mask_0"] = dict(data=(idxs[0] >= F)[0:1, ..., None])
+                # reference mask: argmin over [identity | proj] >= F, i.e.
+                # a warped candidate strictly beats every identity one
+                hm["loss_mask_0"] = dict(data=(
+                    jnp.min(proj_loss[0], axis=0) < identity_min
+                )[0:1, ..., None])
 
         patched_mask = input_dict.get(
             "patched_mask", jnp.ones((B, H, W), dtype=to_opt.dtype))

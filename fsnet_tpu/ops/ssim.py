@@ -47,6 +47,16 @@ import os as _os
 #: only keep/revert arbiter — BASELINE.md methodology).
 SSIM_STENCIL = _os.environ.get("FSNET_SSIM_STENCIL", "0") != "0"
 
+#: Hybrid pool (k=3): H direction as a sublane-shift stencil, W direction as
+#: the banded MXU matmul. Motivation: round-3 profiling showed the H einsum
+#: ("bhwc,Hh->bHwc", contracting a non-minor axis) at ~2x the cost of the
+#: W einsum despite 1/3 the FLOPs. DEFAULT OFF — benched 219 vs 250.7
+#: imgs/s on the full step (bench.py, v5e): the H-shift reads break XLA's
+#: producer fusions of the x*x / x*y moment inputs, re-materializing them
+#: three times. FOURTH stencil-vs-matmul negative result on this toolchain
+#: (BASELINE.md); kept for A/B on future toolchains.
+SSIM_HSTENCIL = _os.environ.get("FSNET_SSIM_HSTENCIL", "0") != "0"
+
 
 def _avg_pool_same(x: jnp.ndarray, kernel_size: int, padding: int) -> jnp.ndarray:
     """Reflection-pad then kernel_size x kernel_size mean pool, stride 1 (the
@@ -66,10 +76,16 @@ def _avg_pool_same(x: jnp.ndarray, kernel_size: int, padding: int) -> jnp.ndarra
         return (out * jnp.asarray(1.0 / kernel_size ** 2, acc_t)).astype(
             x.dtype)
     acc_t = jnp.promote_types(x.dtype, jnp.float32)  # f32 accum for bf16,
-    mh = jnp.asarray(_pool_matrix(H, kernel_size, padding), x.dtype)
+    if SSIM_HSTENCIL and kernel_size == 3 and padding == 1 and H > 2:
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)),
+                     mode="reflect").astype(acc_t)
+        x = ((xp[:, :-2] + xp[:, 1:-1] + xp[:, 2:])
+             * jnp.asarray(1.0 / kernel_size, acc_t)).astype(x.dtype)
+    else:
+        mh = jnp.asarray(_pool_matrix(H, kernel_size, padding), x.dtype)
+        x = jnp.einsum("bhwc,Hh->bHwc", x, mh,
+                       preferred_element_type=acc_t).astype(x.dtype)
     mw = jnp.asarray(_pool_matrix(W, kernel_size, padding), x.dtype)
-    x = jnp.einsum("bhwc,Hh->bHwc", x, mh,
-                   preferred_element_type=acc_t).astype(x.dtype)
     return jnp.einsum("bhwc,Ww->bhWc", x, mw,
                       preferred_element_type=acc_t).astype(x.dtype)
 
