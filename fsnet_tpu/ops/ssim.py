@@ -10,6 +10,7 @@ import functools
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 _C1 = 0.01 ** 2
@@ -82,6 +83,12 @@ def _avg_pool_same(x: jnp.ndarray, kernel_size: int, padding: int) -> jnp.ndarra
         x = ((xp[:, :-2] + xp[:, 1:-1] + xp[:, 2:])
              * jnp.asarray(1.0 / kernel_size, acc_t)).astype(x.dtype)
     else:
+        # NOTE (round 3): two "obviously better" H-pool forms were benched
+        # and REGRESSED the full step — merged-minor "Hh,bhm->bHm" on the
+        # free [B, H, W*C] reshape: 221.8 vs 250.7 imgs/s; H-shift stencil:
+        # 219. The trace's 2.7 ms on this line is mostly the FUSED x*x/x*y
+        # moment producers, not the contraction — this einsum is already the
+        # right form. Keep it; adjudicate any change with bench.py.
         mh = jnp.asarray(_pool_matrix(H, kernel_size, padding), x.dtype)
         x = jnp.einsum("bhwc,Hh->bHwc", x, mh,
                        preferred_element_type=acc_t).astype(x.dtype)
