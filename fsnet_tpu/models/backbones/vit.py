@@ -1,10 +1,24 @@
-"""ViT backbone (flax.linen, NHWC).
+"""ViT backbone (flax.linen, NHWC) — the reference's MODIFIED variant.
 
-Reference: ``vision_base/networks/models/backbone/vit.py`` — ``ViT:338``
-(patch embedding, class token, 1D positional embedding, pre-norm transformer,
-single-scale output at patch resolution) with pos-embed resize for
-non-pretrain image sizes (``resize_pos_embed:91``; here
-:func:`resize_pos_embed` works on numpy arrays for the weight converter).
+Reference: ``vision_base/networks/models/backbone/vit.py`` — a fork of
+PyTorch-Pretrained-ViT with three deliberate edits that this implementation
+mirrors exactly:
+
+* the transformer re-adds a SHARED learned positional embedding before
+  EVERY block (``Transformer.forward:318-325``: zero-init
+  ``transformer.positional_embedding``), on top of the standard one added
+  once at the input (``ViT.forward:434-446``);
+* every block's attention adds a shared learned [1, S, S] score bias
+  before softmax (``MultiHeadedSelfAttention.forward:263-264``:
+  ``positional_embedding_attn``, zero-init);
+* there is NO final LayerNorm — the class token is stripped and the
+  patch-grid features are returned directly (``ViT.forward:447-451``).
+
+Pretrained zoo weights load with ``strict=False`` in the reference, so the
+extra (fork-only) parameters keep their zero init — identical here via the
+torch converter (``models/torch_convert.py:convert_vit_state_dict``).
+``resize_pos_embed`` reproduces the reference's bilinear grid resize for
+non-pretrain image sizes (``vit.py:91-118``).
 """
 from __future__ import annotations
 
@@ -41,25 +55,57 @@ def resize_pos_embed(posemb: np.ndarray, gh_gw_old, gh_gw_new,
     return np.concatenate([tok, grid], axis=1)
 
 
+class _SelfAttention(nn.Module):
+    """Reference ``MultiHeadedSelfAttention:241-275``: separate q/k/v
+    projections, additive [1, S, S] score bias, dropout on the attention
+    probabilities. The output projection lives in the block (``proj``)."""
+
+    dim: int
+    num_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, score_bias, train: bool = True):
+        B, S, D = x.shape
+        hd = D // self.num_heads
+        q = nn.Dense(D, name="proj_q")(x)
+        k = nn.Dense(D, name="proj_k")(x)
+        v = nn.Dense(D, name="proj_v")(x)
+
+        def heads(t):
+            return t.reshape(B, S, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(hd, x.dtype))
+        scores = scores + score_bias          # [1, S, S] -> [B, H, S, S]
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
+        h = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        return h.transpose(0, 2, 1, 3).reshape(B, S, D)
+
+
 class _Encoder1DBlock(nn.Module):
+    """Reference ``Block:289-306``: pre-norm attention (+ out proj + drop)
+    and pre-norm exact-GELU MLP, both residual."""
+
     dim: int
     num_heads: int
     ff_dim: int
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
-        h = nn.LayerNorm(name="norm1")(x)
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.dim,
-            name="attn")(h, h)
+    def __call__(self, x, score_bias, train: bool = True):
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        h = _SelfAttention(self.dim, self.num_heads, self.dropout,
+                           name="attn")(h, score_bias, train)
+        h = nn.Dense(self.dim, name="proj")(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         x = x + h
 
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         h = nn.Dense(self.ff_dim, name="fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Dense(self.dim, name="fc2")(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         return x + h
@@ -102,10 +148,19 @@ class ViT(nn.Module):
                          nn.initializers.normal(0.02), (1, seq_len, self.dim))
         x = x + pos
 
+        # fork-only parameters (zero-init, reference ViT.init_weights):
+        # a shared pos embedding re-added before every block, and a shared
+        # additive attention-score bias
+        pos_t = self.param("transformer_pos", nn.initializers.zeros,
+                           (1, seq_len, self.dim))
+        pos_attn = self.param("transformer_pos_attn", nn.initializers.zeros,
+                              (1, seq_len, seq_len))
         for i in range(self.num_layers):
+            x = x + pos_t
             x = _Encoder1DBlock(self.dim, self.num_heads, self.ff_dim,
-                                self.dropout_rate, name=f"block{i}")(x, train)
-        x = nn.LayerNorm(name="norm")(x)
+                                self.dropout_rate,
+                                name=f"block{i}")(x, pos_attn, train)
+        # NO final LayerNorm (reference ViT.forward:447-451)
 
         if self.classifier == "token":
             x = x[:, 1:]

@@ -68,21 +68,74 @@ def _resnet_weight_patterns(depth: int) -> List[str]:
     return [f"resnet{depth}-*.pth", f"resnet{depth}.pth"]
 
 
+def _load_raw_state_dict(path: str) -> Dict:
+    """torch.load a checkpoint and unwrap the common container keys
+    (reference checkpoints: ``model_state_dict``; official Swin/ConvNeXt
+    releases: ``model``; generic trainers: ``state_dict``) while keeping
+    tensor values raw for the per-backbone converters."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        for key in ("model_state_dict", "state_dict", "model"):
+            if key in obj and isinstance(obj[key], dict):
+                return obj[key]
+    return obj
+
+
 def convert_backbone_weights(backbone_cfg: Dict,
                              weights_path: str) -> Tuple[Dict, Dict]:
     """Dispatch a local torch ``.pth`` to the matching converter. Returns
-    (params, batch_stats) flax trees for the backbone scope."""
-    name = str(backbone_cfg.get("name", ""))
+    (params, batch_stats) flax trees for the backbone scope.
+
+    Mirrors the reference's per-backbone pretrained loaders: ResNet
+    (``resnet.py:270-284``), Swin (``swin_transformer.py:591-612``), ViT
+    (``vit.py:12-90``), ConvNeXt (``convnext.py:153-214``), DenseNet
+    (torchvision wrapper, ``densenet.py:3-21``)."""
+    name = str(backbone_cfg.get("name", "")).lower()
     if name.endswith(".resnet.resnet") or name.endswith("resnet"):
         from ..models.torch_convert import load_torch_resnet
 
         return load_torch_resnet(
             weights_path,
             num_input_images=int(backbone_cfg.get("num_input_images", 1)))
+    if "swin" in name:
+        from ..models.torch_convert import convert_swin_state_dict
+
+        return convert_swin_state_dict(_load_raw_state_dict(weights_path))
+    if "convnext" in name:
+        from ..models.torch_convert import convert_convnext_state_dict
+
+        return convert_convnext_state_dict(_load_raw_state_dict(weights_path))
+    if "densenet" in name:
+        from ..models.torch_convert import convert_densenet_state_dict
+
+        return convert_densenet_state_dict(_load_raw_state_dict(weights_path))
+    if name.endswith(".vit") or name.endswith(".vit.vit") or "vit" in name:
+        from ..models.backbones.vit import PRESETS
+        from ..models.torch_convert import convert_vit_state_dict
+
+        sd = _load_raw_state_dict(weights_path)
+        grid_old = grid_new = None
+        image_size = backbone_cfg.get("image_size")
+        if image_size is not None:
+            preset = PRESETS.get(
+                str(backbone_cfg.get("pretrained_name", "B_16")).lower(), {})
+            patches = int(backbone_cfg.get("patches",
+                                           preset.get("patches", 16)))
+            pos = sd["positional_embedding.pos_embedding"]
+            seq = int(pos.shape[1]) - 1  # class token
+            side = int(round(seq ** 0.5))
+            grid_old = (side, side)
+            grid_new = (int(image_size[0]) // patches,
+                        int(image_size[1]) // patches)
+        return convert_vit_state_dict(sd, grid_old=grid_old,
+                                      grid_new=grid_new)
     raise NotImplementedError(
         f"no pretrained-weight converter for backbone '{name}' — "
-        "supported: ResNet (fsnet_tpu.models.torch_convert). Set "
-        "pretrained=False or add a converter.")
+        "supported: ResNet, Swin, ViT, ConvNeXt, DenseNet "
+        "(fsnet_tpu.models.torch_convert). Set pretrained=False or add a "
+        "converter.")
 
 
 def resolve_pretrained_path(backbone_cfg: Dict) -> Optional[str]:
@@ -99,10 +152,30 @@ def resolve_pretrained_path(backbone_cfg: Dict) -> Optional[str]:
         return path
     if not pretrained:
         return None
-    name = str(backbone_cfg.get("name", ""))
+    name = str(backbone_cfg.get("name", "")).lower()
+    pname = str(backbone_cfg.get("pretrained_name", "")).lower()
+    patterns: List[str] = []
     if "resnet" in name:
-        found = _find_cached_weights(
-            _resnet_weight_patterns(int(backbone_cfg.get("depth", 18))))
+        patterns = _resnet_weight_patterns(int(backbone_cfg.get("depth", 18)))
+    elif "swin" in name:
+        # official release filenames (reference swin_transformer.py:592-595)
+        size = {"swin-t": "tiny", "swin-b": "base"}.get(pname or "swin-b",
+                                                        "base")
+        patterns = [f"swin_{size}_patch4_window7_224*.pth"]
+    elif "convnext" in name:
+        size = {"convnext-t": "tiny", "convnext-s": "small",
+                "convnext-b": "base", "convnext-l": "large",
+                "convnext-xt": "xlarge"}.get(pname or "convnext-t", "tiny")
+        patterns = [f"convnext_{size}_*.pth"]
+    elif "densenet" in name:
+        depth = int(backbone_cfg.get("depth", 121))
+        patterns = [f"densenet{depth}-*.pth", f"densenet{depth}.pth"]
+    elif "vit" in name:
+        # PyTorch-Pretrained-ViT release filenames (reference vit.py:459-520)
+        pv = (pname or "b_16").upper()
+        patterns = [f"{pv}.pth", f"{pv}_imagenet1k.pth", f"{pv}_*.pth"]
+    if patterns:
+        found = _find_cached_weights(patterns)
         if found:
             return found
     raise FileNotFoundError(

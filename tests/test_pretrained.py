@@ -109,3 +109,77 @@ def test_pose_backbone_multi_image_graft(torch_ckpt):
     base = sd["conv1.weight"].numpy().transpose(2, 3, 1, 0)
     np.testing.assert_allclose(conv1[:, :, :3], base / 2, rtol=1e-6)
     np.testing.assert_allclose(conv1[:, :, 3:], base / 2, rtol=1e-6)
+
+
+def test_converter_dispatch_all_backbones(tmp_path):
+    """convert_backbone_weights routes each backbone family to its converter
+    (reference loads zoo weights for all of them: swin_transformer.py:591,
+    vit.py:12, convnext.py:204, densenet.py:3)."""
+    from fsnet_tpu.runtime.pretrained import convert_backbone_weights
+    from test_torch_convert_backbones import (
+        TorchConvNeXt, TorchDenseNetFeatures)
+
+    torch.manual_seed(3)
+
+    dn = TorchDenseNetFeatures(growth=4, block_config=(2, 2), num_init=8)
+    p = tmp_path / "densenet121-test.pth"
+    torch.save(dn.state_dict(), str(p))
+    params, stats = convert_backbone_weights(
+        {"name": "fsnet_tpu.models.backbones.densenet.densenet",
+         "depth": 121}, str(p))
+    assert "conv0" in params and stats
+
+    cn = TorchConvNeXt(depths=(1, 1, 1, 1), dims=(8, 8, 16, 16))
+    p = tmp_path / "convnext_tiny_test.pth"
+    torch.save({"model": cn.state_dict()}, str(p))
+    params, stats = convert_backbone_weights(
+        {"name": "fsnet_tpu.models.backbones.convnext.convNext"}, str(p))
+    assert "stem_conv" in params and stats == {}
+
+    import sys
+    if "/root/reference" in sys.path or os.path.isdir("/root/reference"):
+        sys.path.insert(0, "/root/reference")
+        from vision_base.networks.models.backbone.swin_transformer import (
+            SwinTransformer as RefSwin)
+        from vision_base.networks.models.backbone.vit import ViT as RefViT
+
+        sw = RefSwin(img_size=(56, 56), patch_size=4, embed_dim=16,
+                     depths=[2, 2], num_heads=[2, 4], window_size=7)
+        p = tmp_path / "swin_tiny_patch4_window7_224_test.pth"
+        torch.save({"model": sw.state_dict()}, str(p))
+        params, _ = convert_backbone_weights(
+            {"name": "fsnet_tpu.models.backbones.swin_transformer"
+                     ".swinTransformer"}, str(p))
+        assert "patch_embed" in params and "layer0_block0" in params
+
+        vt = RefViT(pretrained=False, patches=8, dim=16, ff_dim=32,
+                    num_heads=2, num_layers=2, dropout_rate=0.0,
+                    image_size=(32, 32))
+        p = tmp_path / "B_16_test.pth"
+        torch.save(vt.state_dict(), str(p))
+        # grid resize path: pretrain grid 4x4 -> target 6x8 (48x64 @ p8)
+        params, _ = convert_backbone_weights(
+            {"name": "fsnet_tpu.models.backbones.vit.vit", "patches": 8,
+             "image_size": (48, 64)}, str(p))
+        assert params["pos_embedding"].shape[1] == 1 + 6 * 8
+
+
+def test_cache_patterns_new_backbones(tmp_path, monkeypatch):
+    """resolve_pretrained_path finds zoo-named caches for every family."""
+    monkeypatch.setenv("FSNET_PRETRAINED_DIR", str(tmp_path))
+    for fname, cfg in [
+        ("swin_base_patch4_window7_224_22k.pth",
+         {"name": "models.swin_transformer.swinTransformer",
+          "pretrained": True, "pretrained_name": "Swin-B"}),
+        ("convnext_tiny_1k_224_ema.pth",
+         {"name": "models.convnext.convNext", "pretrained": True,
+          "pretrained_name": "ConvNeXt-T"}),
+        ("densenet121-a639ec97.pth",
+         {"name": "models.densenet.densenet", "pretrained": True,
+          "depth": 121}),
+        ("B_16_imagenet1k.pth",
+         {"name": "models.vit.vit", "pretrained": True,
+          "pretrained_name": "B_16"}),
+    ]:
+        (tmp_path / fname).write_bytes(b"x")
+        assert resolve_pretrained_path(cfg) == str(tmp_path / fname), fname
