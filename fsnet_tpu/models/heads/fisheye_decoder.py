@@ -88,23 +88,41 @@ class FishEyeDecoder(MonoDepth2Decoder):
             for f in frames
         ], axis=0)  # [F, B, 4, 4]
 
-        def grid_for(norm_s, T_f):
-            # grid math in f32 even under bf16 mixed precision: pixel
-            # addressing needs sub-pixel accuracy, bf16 quantizes to +-2 px
-            # beyond x ~ 256 (see ops.geometry.reproject)
-            points, _ = self._lift(norm_s.astype(jnp.float32), input_dict)
-            homo = jnp.concatenate([points, jnp.ones_like(points[..., :1])],
-                                   axis=-1)
-            transformed = jnp.einsum(
-                "bij,bhwj->bhwi", T_f.astype(jnp.float32),
-                homo.astype(jnp.float32))[..., 0:3]
-            pix = _mei_project(transformed, P.astype(jnp.float32),
-                               params.astype(jnp.float32))
+        # grid math in f32 even under bf16 mixed precision: pixel
+        # addressing needs sub-pixel accuracy, bf16 quantizes to +-2 px
+        # beyond x ~ 256 (see ops.geometry.reproject). The SE(3) transform
+        # of the lifted points decomposes as
+        #     T @ (rays * norm) = norm * (R @ rays) + t
+        # so the rotated ray field (the only matmul in the chain) hoists out
+        # of the S loop: one [B, H, W, 3] einsum per frame instead of a 4x4
+        # homogeneous einsum + concat per (scale, frame) — the reference
+        # instead reruns its full image2cam/cam2image chain per scale
+        # (``monodepth2_decoder.py:355-413``).
+        f32 = jnp.float32
+        rays = input_dict["fisheye_rays"][..., 0:3].astype(f32)
+        # explicit fma matvec, not einsum: small-K f32 einsums lower to
+        # noisy bf16 MXU passes (+-3 px at gamma*W scale — see
+        # ops/geometry.py:reproject and BASELINE.md round 3)
+        R = Ts[:, :, :3, :3].astype(f32)[:, :, None, None]  # [F,B,1,1,3,3]
+        rot_rays = jnp.stack([
+            R[..., k, 0] * rays[None, ..., 0]
+            + R[..., k, 1] * rays[None, ..., 1]
+            + R[..., k, 2] * rays[None, ..., 2]
+            for k in range(3)], axis=-1)         # [F, B, H, W, 3]
+        trans = Ts[:, :, :3, 3].astype(f32)      # [F, B, 3]
+        Pf = P.astype(f32)
+        params_f = params.astype(f32)
+
+        def grid_for(norm_s, rot_f, t_f):
+            transformed = (norm_s.astype(f32) * rot_f
+                           + t_f[:, None, None, :])
+            pix = _mei_project(transformed, Pf, params_f)
             u = pix[..., 0] / max(W - 1, 1) * 2.0 - 1.0
             v = pix[..., 1] / max(H - 1, 1) * 2.0 - 1.0
             return jnp.stack([u, v], axis=-1)
 
-        grids = jax.vmap(lambda n: jax.vmap(lambda T: grid_for(n, T))(Ts))(
+        grids = jax.vmap(lambda n: jax.vmap(
+            lambda rf, tf: grid_for(n, rf, tf))(rot_rays, trans))(
             norms_full)  # [S, F, B, H, W, 2]
 
         if self.is_residual_flow:

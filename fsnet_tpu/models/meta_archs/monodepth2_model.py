@@ -162,6 +162,11 @@ class MonoDepthWPose(BaseMetaArch):
         else:
             for f_i in frame_ids[1:]:
                 outputs[("cam_T_cam", f_i)] = data[("relative_pose", f_i)]
+            # static marker: every warp pose is a dataset constant, so the
+            # head may take the depth-direct Pallas warp (no pose gradient
+            # path exists). Popped by _warp_all before the dict crosses any
+            # jit boundary.
+            outputs["pose_is_const"] = True
 
         return self.head.loss(outputs, data, noise_rng=self._noise_rng())
 
@@ -238,6 +243,7 @@ class DistillWPoseMeta(BaseMetaArch):
 
         for f_i in frame_ids[1:]:
             outputs[("cam_T_cam", f_i)] = data[("relative_pose", f_i)]
+        outputs["pose_is_const"] = True  # see MonoDepthWPose.forward_train
 
         return self.head.loss(outputs, data, noise_rng=self._noise_rng())
 

@@ -188,8 +188,18 @@ def reproject(depth: jnp.ndarray, K: jnp.ndarray, inv_K: jnp.ndarray,
     A = jnp.matmul(P[:, :, :3], inv_K[:, :3, :3].astype(mat_t))
     b = P[:, :, 3]                            # [B, 3] constant term
     grid = pixel_grid(H, W, dtype=mat_t)
-    cam = (jnp.einsum("bij,hwj->bhwi", A, grid) * depth.astype(mat_t)
-           + b[:, None, None, :])
+    # The per-pixel 3x3 matvec is an EXPLICIT fma chain, not an einsum: XLA
+    # lowers small-K f32 einsums to bf16 MXU passes whose ~1e-3 relative
+    # noise is +-0.6 px (p99 2.7 px) at W=640 — measured against an f64
+    # oracle (scripts/tpu_prep_diff.py, BASELINE.md round 3). Nine VPU fmas
+    # are exact f32 and fuse into the surrounding elementwise graph.
+    jj = grid[..., 0]
+    ii = grid[..., 1]
+    A_ = A[:, None, None]                     # [B, 1, 1, 3, 3]
+    cam3 = jnp.stack([
+        A_[..., k, 0] * jj + A_[..., k, 1] * ii + A_[..., k, 2]
+        for k in range(3)], axis=-1)
+    cam = cam3 * depth.astype(mat_t) + b[:, None, None, :]
     pix = cam[..., :2] / (cam[..., 2:3] + 1e-7)
     u = pix[..., 0] / (W - 1)
     v = pix[..., 1] / (H - 1)

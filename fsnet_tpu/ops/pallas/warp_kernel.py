@@ -372,8 +372,8 @@ def _fused_tile(ipack_ref, fpack_ref, src_of, g, u, *, T, band, C, L,
 
     if packed_idx:
         fdt = fpack_ref.dtype
-        fx = fpack_ref[0, g, 0:1, u, :]
-        fy = fpack_ref[0, g, 1:2, u, :]
+        fx = fpack_ref[0, 0, g, u:u + 1, :]
+        fy = fpack_ref[0, 1, g, u:u + 1, :]
         wx0, wx1 = 1.0 - fx, fx
         wy0, wy1 = 1.0 - fy, fy
         if not border:
@@ -778,19 +778,23 @@ def _pack_specs(ipack, fpack, fdt, B, Ho, T, L, G):
     """(ipack_tiled, fpack_tiled, ipack BlockSpec, fpack BlockSpec) for the
     fused kernels' two index/weight operands.
 
-    PACK_IDX layout (ipack is the rank-3 [B, Ho, W] index word): both
-    operands become PURE RESHAPES of their natural [B, Ho, W]-major layouts
-    — iword [B, Ho, T, L] and fpack [B, Ho, 2, T, L] — so no relayout copy
-    is materialized (the legacy rank-4 row layouts forced per-field
-    T(1,128) copies worth ~2 ms/step at the KITTI recipe). Legacy layout:
-    the usual :func:`_tile_w` transposes."""
+    PACK_IDX layout (ipack is the rank-3 [B, Ho, W] index word; fpack is
+    the rank-4 [B, 2, Ho, W] fraction pair): both operands become PURE
+    RESHAPES of their natural W-minor layouts — iword [B, Ho, T, L] and
+    fpack [B, 2, Ho, T, L] — so no relayout copy is materialized (the
+    legacy rank-4 row layouts forced per-field T(1,128) copies worth
+    ~2 ms/step at the KITTI recipe). The fractions lead with their own
+    axis (not [B, Ho, 2, W]) so the Pallas prep kernel
+    (``prep_kernel.warp_prep_pallas``) can emit them as two clean full
+    [G, W] block stores. Legacy layout: the usual :func:`_tile_w`
+    transposes."""
     if ipack.ndim == 3:
         ipack_tiled = ipack.astype(jnp.int32).reshape(B, Ho, T, L)
-        fpack_tiled = fpack.astype(fdt).reshape(B, Ho, 2, T, L)
+        fpack_tiled = fpack.astype(fdt).reshape(B, 2, Ho, T, L)
         ispec = pl.BlockSpec((1, G, T, L), lambda n, h, *_: (n, h, 0, 0),
                              memory_space=pltpu.VMEM)
-        fspec = pl.BlockSpec((1, G, 2, T, L),
-                             lambda n, h, *_: (n, h, 0, 0, 0),
+        fspec = pl.BlockSpec((1, 2, G, T, L),
+                             lambda n, h, *_: (n, 0, h, 0, 0),
                              memory_space=pltpu.VMEM)
         return ipack_tiled, fpack_tiled, ispec, fspec
     ipack_tiled = _tile_w(ipack.astype(jnp.int32), T, L)
@@ -1182,10 +1186,11 @@ def grid_sample_band_pallas_fused(image: jnp.ndarray, iw: dict, band: int,
     f32 = jnp.float32
     L = W if W <= _LANE else _LANE
     if PACK_IDX and not FOLD_WIN and "fx" in iw:
-        # one s32 index word (+ validity bits) and just the raw fractions;
-        # the kernels reconstruct the corner weights (see _fused_tile)
+        # one s32 index word (+ validity bits) and just the raw fractions
+        # ([B, 2, Ho, W] — fraction axis leading, see _pack_specs); the
+        # kernels reconstruct the corner weights (see _fused_tile)
         ipack, ws = _make_ipack_packed(iw, W, L, with_masks=not border)
-        fpack8 = jnp.stack([iw["fx"], iw["fy"]], axis=2).astype(f32)
+        fpack8 = jnp.stack([iw["fx"], iw["fy"]], axis=1).astype(f32)
         if DMA_GATHER if dma is None else dma:
             img_tiled, ymin_rows, rows, packed = _prep_img_dma(image, iw,
                                                                band)

@@ -38,14 +38,23 @@ FRAMES = (0, 1, -1)
 
 # ------------------------------------------------------------ synthetic scenes
 
-def _texture(X, phases, freqs):
-    """Procedural 3-channel texture over 3D points X [..., 3] -> [..., 3]."""
+def _texture(X, phases, freqs, texless=()):
+    """Procedural 3-channel texture over 3D points X [..., 3] -> [..., 3].
+
+    ``texless``: (center [3], radius) spheres around which the texture
+    amplitude fades to zero — frame-consistent textureless regions (the
+    band re-gate study's hard-scene requirement: automask/min-reprojection
+    must cope with zero photometric signal there)."""
+    amp = np.ones(X.shape[:-1], np.float32)
+    for (c0, r0) in texless:
+        dist = np.linalg.norm(X - c0, axis=-1)
+        amp = amp * np.clip((dist - r0) / max(0.3 * r0, 1.0), 0.0, 1.0)
     out = []
     for c in range(3):
         v = 0.5 * np.ones(X.shape[:-1], np.float32)
         for (f, p, a) in zip(freqs[c], phases[c],
                              (0.25, 0.15, 0.08)):
-            v = v + a * np.sin(X @ f + p)
+            v = v + a * amp * np.sin(X @ f + p)
         out.append(v)
     return np.clip(np.stack(out, axis=-1), 0.0, 1.0).astype(np.float32)
 
@@ -57,11 +66,27 @@ def _plane_depth(n, d, rays):
     return np.where(depth > 0.1, depth, np.inf).astype(np.float32)
 
 
-def _scene_frame(K_inv, T0t_inv, planes, phases, freqs):
+def _box_depth(bmin, bmax, d, o):
+    """z-depth s at which the ray ``o + s*d`` (d has z == 1, so s is
+    camera-z depth) enters the axis-aligned box [bmin, bmax]; inf on miss."""
+    d = np.where(np.abs(d) < 1e-9, np.where(d >= 0, 1e-9, -1e-9), d)
+    t0 = (bmin - o) / d
+    t1 = (bmax - o) / d
+    tn = np.max(np.minimum(t0, t1), axis=-1)
+    tf = np.min(np.maximum(t0, t1), axis=-1)
+    hit = (tn <= tf) & (tf > 0) & (tn > 0.1)
+    return np.where(hit, tn, np.inf).astype(np.float32)
+
+
+def _scene_frame(K_inv, T0t_inv, planes, phases, freqs, boxes=(),
+                 texless=()):
     """Render image + depth of the scene seen from camera t.
 
     ``T0t_inv`` maps camera-t coords back to frame-0 (world) coords; planes
-    are given in frame-0 coords as (n, d) with n.X = d."""
+    are given in frame-0 coords as (n, d) with n.X = d; ``boxes`` as
+    (bmin [3], bmax [3]) AABBs in frame-0 coords (hard scenes: free-standing
+    occluders with sharp depth edges and real occlusion changes under the
+    probe's camera motion)."""
     uu, vv = np.meshgrid(np.arange(W, dtype=np.float32),
                          np.arange(H, dtype=np.float32), indexing="xy")
     pix = np.stack([uu, vv, np.ones_like(uu)], axis=-1)    # [H, W, 3]
@@ -76,14 +101,23 @@ def _scene_frame(K_inv, T0t_inv, planes, phases, freqs):
         dt = d0 - n0 @ t_inv
         depth = np.minimum(depth, _plane_depth(nt.astype(np.float32),
                                                np.float32(dt), rays))
+    dirs0 = rays @ R_inv.T                                  # frame-0 ray dirs
+    for (bmin, bmax) in boxes:
+        depth = np.minimum(depth, _box_depth(bmin, bmax, dirs0, t_inv))
     depth = np.clip(depth, 0.5, 80.0)
     Xt = rays * depth[..., None]                            # camera-t points
     X0 = Xt @ R_inv.T + t_inv                               # frame-0 coords
-    return _texture(X0, phases, freqs), depth
+    return _texture(X0, phases, freqs, texless), depth
 
 
-def make_batch(rng, batch):
-    """A consistent 3-frame batch in the framework's dict protocol."""
+def make_batch(rng, batch, hard=False):
+    """A consistent 3-frame batch in the framework's dict protocol.
+
+    ``hard=True`` (band re-gate study, round-2 VERDICT item 2): adds 4-8
+    free-standing box occluders on the ground plane (many sharp depth edges
+    with real parallax + occlusion changes) and 1-2 textureless spheres of
+    fading photometric signal — the failure modes two infinite planes can't
+    exercise."""
     from scipy.spatial.transform import Rotation
 
     from fsnet_tpu.utils.keys import encode_batch
@@ -103,6 +137,21 @@ def make_batch(rng, batch):
             (np.array([0.0, 1.0, ground_tilt], np.float32), ground_y),
             (np.array([0.0, 0.0, 1.0], np.float32), wall_z),
         ]
+        boxes, texless = [], []
+        if hard:
+            for _ in range(rng.randint(4, 9)):
+                cx = rng.uniform(-9.0, 9.0)
+                cz = rng.uniform(5.0, min(wall_z - 2.0, 28.0))
+                w2 = rng.uniform(0.3, 1.5)
+                d2 = rng.uniform(0.3, 1.5)
+                hgt = rng.uniform(0.6, 2.6)
+                boxes.append((
+                    np.array([cx - w2, ground_y - hgt, cz - d2], np.float32),
+                    np.array([cx + w2, ground_y, cz + d2], np.float32)))
+            for _ in range(rng.randint(1, 3)):
+                c0 = np.array([rng.uniform(-8, 8), ground_y,
+                               rng.uniform(6, 25)], np.float32)
+                texless.append((c0, rng.uniform(2.0, 5.0)))
         freqs = [[rng.uniform(0.3, 3.0, 3).astype(np.float32)
                   for _ in range(3)] for _ in range(3)]
         phases = [rng.uniform(0, 6.28, 3).astype(np.float32) for _ in range(3)]
@@ -119,7 +168,7 @@ def make_batch(rng, batch):
 
         for f in FRAMES:
             img, dep = _scene_frame(K_inv, np.linalg.inv(T[f]), planes,
-                                    phases, freqs)
+                                    phases, freqs, boxes, texless)
             images[f].append(img)
             if f == 0:
                 depths0.append(dep)
@@ -170,7 +219,7 @@ def abs_rel(pred, gt):
 
 
 def run(tag, warp_impl, compute_dtype, batches, gts, steps, eval_every,
-        warp_band=16):
+        warp_band=16, seed=0, _cache={}):
     import jax
     import jax.numpy as jnp
 
@@ -178,29 +227,83 @@ def run(tag, warp_impl, compute_dtype, batches, gts, steps, eval_every,
     from fsnet_tpu.runtime.state import init_state, make_eval_step, \
         make_train_step
 
-    model = flagship(warp_impl, warp_band)
+    dtype = {None: None, "bf16": jnp.bfloat16}[compute_dtype]
+    # reuse model instance + jitted steps across seeds of the same config:
+    # the jit cache keys on the model (apply_fn) identity, so one compile
+    # per config, not per seed
+    ck = (warp_impl, warp_band, compute_dtype)
+    if ck not in _cache:
+        _cache[ck] = (flagship(warp_impl, warp_band),
+                      make_train_step(donate=False, compute_dtype=dtype),
+                      make_eval_step())
+    model, train_step, eval_step = _cache[ck]
     tx, _ = build_optimizer(dict(name="adam", lr=1e-4),
                             dict(name="StepLR", step_size=15),
                             steps_per_epoch=len(batches), clip_gradients=1.0)
-    state = init_state(model, batches[0], tx, jax.random.PRNGKey(0))
-    dtype = {None: None, "bf16": jnp.bfloat16}[compute_dtype]
-    train_step = make_train_step(donate=False, compute_dtype=dtype)
-    eval_step = make_eval_step()
-    rng = jax.random.PRNGKey(1)
+    state = init_state(model, batches[0], tx, jax.random.PRNGKey(seed))
+    rng = jax.random.PRNGKey(seed + 1)
 
+    n_eval = min(4, len(batches))
     losses, absrels = [], {}
     t0 = time.time()
     for i in range(steps):
         state, metrics, _ = train_step(state, batches[i % len(batches)], rng)
         losses.append(float(metrics["loss"]))
         if i % eval_every == 0 or i == steps - 1:
-            pred = np.asarray(
-                eval_step(state, batches[0])["depth"])[..., 0]
-            absrels[i] = abs_rel(pred, gts[0])
+            vals = []
+            for k in range(n_eval):
+                pred = np.asarray(
+                    eval_step(state, batches[k])["depth"])[..., 0]
+                vals.append(abs_rel(pred, gts[k]))
+            absrels[i] = float(np.mean(vals))
             print(f"[{tag}] step {i:4d} loss {losses[-1]:.4f} "
                   f"absrel {absrels[i]:.4f} ({time.time() - t0:.0f}s)",
                   flush=True)
-    return dict(tag=tag, losses=losses, absrels=absrels)
+    return dict(tag=tag, seed=seed, losses=losses, absrels=absrels)
+
+
+def study(args):
+    """Variance-controlled band re-gate (round-2 VERDICT item 2): N seeds x
+    {band configs + exact oracle} on hard scenes, >=1k steps; final AbsRel
+    mean +- 95% CI per config; the shipped default must have a CI
+    overlapping the exact warp's."""
+    seeds = list(range(args.seeds))
+    scene_sets = {}
+    for s in seeds:
+        rng = np.random.RandomState(1000 + s)
+        print(f"generating scenes for seed {s}...", flush=True)
+        batches, gts = [], []
+        for _ in range(args.n_batches):
+            b, g = make_batch(rng, args.batch, hard=True)
+            batches.append(b)
+            gts.append(g)
+        scene_sets[s] = (batches, gts)
+
+    results = []
+    for cfg in args.configs:
+        warp, prec = cfg.split(":")
+        band = 16
+        if warp.startswith("band") and warp != "band":
+            band = int(warp[len("band"):])
+            warp = "band"
+        for s in seeds:
+            batches, gts = scene_sets[s]
+            print(f"== {cfg} seed {s}", flush=True)
+            results.append(run(f"{cfg}#s{s}", warp,
+                               None if prec == "f32" else prec, batches,
+                               gts, args.steps, args.eval_every,
+                               warp_band=band, seed=s))
+            with open(args.out, "w") as f:
+                json.dump(results, f)
+
+    print("\n== band re-gate study: final AbsRel mean +- 95% CI ==")
+    for cfg in args.configs:
+        finals = [r["absrels"][max(map(int, r["absrels"]))]
+                  for r in results if r["tag"].startswith(cfg + "#")]
+        m, sd = float(np.mean(finals)), float(np.std(finals, ddof=1))
+        ci = 1.96 * sd / np.sqrt(len(finals))
+        print(f"{cfg}: {m:.4f} +- {ci:.4f}  (n={len(finals)}, "
+              f"seeds {[round(f, 4) for f in finals]})")
 
 
 def main():
@@ -212,7 +315,13 @@ def main():
     ap.add_argument("--out", default="/tmp/convergence_probe.json")
     ap.add_argument("--configs", nargs="+",
                     default=["band:f32", "band:bf16", "gather:f32"])
+    ap.add_argument("--seeds", type=int, default=0,
+                    help=">0 switches to the multi-seed hard-scene band "
+                         "re-gate study")
     args = ap.parse_args()
+
+    if args.seeds > 0:
+        return study(args)
 
     rng = np.random.RandomState(0)
     print("generating scenes...", flush=True)
