@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.warp_fast import grid_sample, scale_batched_warp_is_fused
+from ...ops.warp_mei import make_mei_rows, warp_mei_fused, warp_mei_supported
 from ..blocks import interpolate_bilinear
 from .monodepth2_decoder import MonoDepth2Decoder
 
@@ -88,6 +89,38 @@ class FishEyeDecoder(MonoDepth2Decoder):
             for f in frames
         ], axis=0)  # [F, B, 4, 4]
 
+        sources = jnp.stack([
+            input_dict[("original_image", f)] for f in frames], axis=0)
+        C = sources.shape[-1]
+        sources_flat = sources.reshape(F * B, H, W, C)
+
+        # Norm-direct Pallas path (ops/warp_mei.py): when every pose is a
+        # dataset constant, the whole Mei grid chain — rotated ray field,
+        # projection, index/fraction prep, AND the nearest mask warp —
+        # fuses into the Mei prep kernel + two band-warp sweeps; no
+        # [S, F, B, H, W, 2] grid is ever materialized (round-2 VERDICT
+        # item 7; reference full-res per-scale chain:
+        # monodepth2_decoder.py:355-413).
+        pose_const = bool(output_dict.pop("pose_is_const", False))
+        if (pose_const and not self.is_residual_flow
+                and self.warp_impl == "band"
+                and warp_mei_supported(sources_flat.shape, self.warp_band)):
+            rays = input_dict["fisheye_rays"]
+            rays_cf = jnp.moveaxis(
+                rays[..., 0:3].astype(jnp.float32), -1, 1)   # [B, 3, H, W]
+            mask = rays[..., 3].astype(jnp.float32)
+            if "patched_mask" in input_dict:
+                mask = mask * input_dict["patched_mask"].astype(jnp.float32)
+            mrows = make_mei_rows(P, params, Ts, S)
+            preds_flat, ov_flat = warp_mei_fused(
+                sources_flat, mask, norms_full.reshape(S * B, H, W),
+                rays_cf, mrows, S, F, self.warp_band,
+                bool(self.overlapped_mask))
+            preds = preds_flat.reshape(S, F, B, H, W, C)
+            overlap = (ov_flat.reshape(S, F, B, H, W)
+                       if self.overlapped_mask else None)
+            return preds, overlap, norms_full
+
         # grid math in f32 even under bf16 mixed precision: pixel
         # addressing needs sub-pixel accuracy, bf16 quantizes to +-2 px
         # beyond x ~ 256 (see ops.geometry.reproject). The SE(3) transform
@@ -130,11 +163,6 @@ class FishEyeDecoder(MonoDepth2Decoder):
                 if ("residual_flow", f, 0) in output_dict:
                     grids = grids.at[:, fi].add(
                         output_dict[("residual_flow", f, 0)][None])
-
-        sources = jnp.stack([
-            input_dict[("original_image", f)] for f in frames], axis=0)
-        C = sources.shape[-1]
-        sources_flat = sources.reshape(F * B, H, W, C)
 
         # all S x F warps in one batched pass on the Pallas fused-DMA path
         # (kernels index sources modulo the image batch — no S-fold tiling);

@@ -81,17 +81,15 @@ def _iotas(h, G, W):
     return ii, jj
 
 
-def _prep_kernel(depth_ref, a_ref, iword_ref, fpack_ref, ymin_ref, ws_ref,
-                 *, G, T, L, H, W, band, row_div, row_mul):
-    """Grid (N, H // G); every op is a full [G, W] (or [G, L]) block.
+def _pack_xy(x, y, iword_ref, fpack_ref, ymin_ref, ws_ref,
+             *, T, L, H, W, band, row_div, row_mul):
+    """Pack projected pixel coords [G, W] into the band-warp operands
+    (shared by the pinhole and Mei prep kernels).
 
     ``row_div``/``row_mul``: ymin -> DMA sublane rows
     ((ymin // row_div) * row_mul; row_div=2 on the bf16 row-packed image
-    path, row_mul=C)."""
-    ii, jj = _iotas(pl.program_id(1), G, W)
-    d = depth_ref[0].astype(jnp.float32)
-    x, y, _, _, _, _ = _pix_coords(a_ref, d, jj, ii)
-
+    path, row_mul=C; 1/1 emits raw even-rounded image rows)."""
+    G = x.shape[0]
     ov = ((x >= -0.5) & (x < W - 0.5) & (y >= -0.5) & (y < H - 0.5))
     xb = jnp.clip(x, 0.0, float(W - 1))
     yb = jnp.clip(y, 0.0, float(H - 1))
@@ -135,6 +133,16 @@ def _prep_kernel(depth_ref, a_ref, iword_ref, fpack_ref, ymin_ref, ws_ref,
                     | ((x1w // L - wsx) << 21)
                     | (d1 << 23)
                     | (ov.astype(jnp.int32) << 28))
+
+
+def _prep_kernel(depth_ref, a_ref, iword_ref, fpack_ref, ymin_ref, ws_ref,
+                 *, G, T, L, H, W, band, row_div, row_mul):
+    """Grid (N, H // G); every op is a full [G, W] (or [G, L]) block."""
+    ii, jj = _iotas(pl.program_id(1), G, W)
+    d = depth_ref[0].astype(jnp.float32)
+    x, y, _, _, _, _ = _pix_coords(a_ref, d, jj, ii)
+    _pack_xy(x, y, iword_ref, fpack_ref, ymin_ref, ws_ref, T=T, L=L, H=H,
+             W=W, band=band, row_div=row_div, row_mul=row_mul)
 
 
 def warp_prep_pallas(depth: jnp.ndarray, arows: jnp.ndarray, S: int, F: int,

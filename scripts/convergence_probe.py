@@ -248,7 +248,9 @@ def run(tag, warp_impl, compute_dtype, batches, gts, steps, eval_every,
     t0 = time.time()
     for i in range(steps):
         state, metrics, _ = train_step(state, batches[i % len(batches)], rng)
-        losses.append(float(metrics["loss"]))
+        # keep the loss on-device: a float() here is a full host round trip
+        # per step (~0.6 s over the remote-TPU tunnel — 25x the step itself)
+        losses.append(metrics["loss"])
         if i % eval_every == 0 or i == steps - 1:
             vals = []
             for k in range(n_eval):
@@ -256,9 +258,10 @@ def run(tag, warp_impl, compute_dtype, batches, gts, steps, eval_every,
                     eval_step(state, batches[k])["depth"])[..., 0]
                 vals.append(abs_rel(pred, gts[k]))
             absrels[i] = float(np.mean(vals))
-            print(f"[{tag}] step {i:4d} loss {losses[-1]:.4f} "
+            print(f"[{tag}] step {i:4d} loss {float(losses[-1]):.4f} "
                   f"absrel {absrels[i]:.4f} ({time.time() - t0:.0f}s)",
                   flush=True)
+    losses = [float(l) for l in losses]
     return dict(tag=tag, seed=seed, losses=losses, absrels=absrels)
 
 

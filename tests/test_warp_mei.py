@@ -1,0 +1,186 @@
+"""Norm-direct Pallas fisheye warp (Mei prep kernel) vs the grid route.
+
+The oracle is the einsum band warp fed by the fisheye decoder's own Mei
+projection chain — the exact XLA path the Mei prep kernel replaces
+(``ops/warp_mei.py`` module docstring) — plus the nearest/zeros mask warp
+for the overlap semantics. Interpret mode on CPU.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import jax.experimental.pallas as pl
+
+import fsnet_tpu.ops.pallas.warp_kernel as wk
+import fsnet_tpu.ops.warp_mei as wm
+from fsnet_tpu.models.heads.fisheye_decoder import _mei_project
+from fsnet_tpu.ops.warp_fast import grid_sample, grid_sample_band
+
+
+@pytest.fixture(autouse=True)
+def _interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(wk.pl, "pallas_call", patched)
+
+
+def _scene(rng, S, F, B, H, W, C):
+    """Synthetic Mei camera: smooth positive norm maps, a unit ray field
+    with a central validity disc, KITTI-360-class intrinsics, small
+    ego-motions."""
+    image = jnp.asarray(rng.rand(F * B, H, W, C).astype(np.float32))
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    base = 8.0 + 4.0 * np.sin(xs / W * 4.0)[None] \
+        + rng.rand(S * B, 1, 1) * 6.0
+    norm = jnp.asarray((base + 2.0 * np.cos(ys / H * 3.0)[None])
+                       .astype(np.float32))
+
+    # ray field: pinhole-ish directions bent outward (Mei-like), normalized
+    u = (xs - 0.5 * W) / (0.35 * W)
+    v = (ys - 0.5 * H) / (0.35 * W)
+    rays = np.stack([u, v, np.ones_like(u)], axis=-1).astype(np.float32)
+    rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
+    r2 = u * u + v * v
+    valid = (r2 < 1.9).astype(np.float32)
+    rays4 = np.concatenate(
+        [np.tile(rays[None], (B, 1, 1, 1)),
+         np.tile(valid[None, ..., None], (B, 1, 1, 1))], axis=-1)
+
+    P = np.zeros((B, 3, 4), np.float32)
+    P[:, 0, 0] = 1.3 * W
+    P[:, 1, 1] = 1.3 * W
+    P[:, 0, 2] = 0.5 * W
+    P[:, 1, 2] = 0.5 * H
+    P[:, 2, 2] = 1.0
+    params = np.tile(np.array([[2.17, 1.68, 0.0]], np.float32), (B, 1))
+
+    Ts = np.tile(np.eye(4, dtype=np.float32), (F, B, 1, 1))
+    for f in range(F):
+        for b in range(B):
+            ang = (rng.rand(3) - 0.5) * 0.01
+            Ts[f, b, :3, 3] = (rng.rand(3) - 0.5) * np.array([1.4, 0.1, 0.2])
+            Ts[f, b, 0, 1] = -ang[2]
+            Ts[f, b, 1, 0] = ang[2]
+            Ts[f, b, 0, 2] = ang[1]
+            Ts[f, b, 2, 0] = -ang[1]
+            Ts[f, b, 1, 2] = -ang[0]
+            Ts[f, b, 2, 1] = ang[0]
+    return (image, norm, jnp.asarray(rays4), jnp.asarray(P),
+            jnp.asarray(params), jnp.asarray(Ts))
+
+
+def _grids(norm, rays4, P, params, Ts, S, F):
+    """The fisheye decoder's exact grid chain ([S, F, B, H, W, 2],
+    normalized)."""
+    B, H, W = rays4.shape[0], rays4.shape[1], rays4.shape[2]
+    f32 = jnp.float32
+    rays = rays4[..., 0:3].astype(f32)
+    R = Ts[:, :, :3, :3].astype(f32)[:, :, None, None]
+    rot_rays = jnp.stack([
+        R[..., k, 0] * rays[None, ..., 0]
+        + R[..., k, 1] * rays[None, ..., 1]
+        + R[..., k, 2] * rays[None, ..., 2]
+        for k in range(3)], axis=-1)
+    trans = Ts[:, :, :3, 3].astype(f32)
+
+    def grid_for(norm_s, rot_f, t_f):
+        transformed = (norm_s[..., None].astype(f32) * rot_f
+                       + t_f[:, None, None, :])
+        pix = _mei_project(transformed, P.astype(f32), params.astype(f32))
+        u = pix[..., 0] / max(W - 1, 1) * 2.0 - 1.0
+        v = pix[..., 1] / max(H - 1, 1) * 2.0 - 1.0
+        return jnp.stack([u, v], axis=-1)
+
+    norm_s = norm.reshape(S, B, H, W)
+    return jax.vmap(lambda n: jax.vmap(
+        lambda rf, tf: grid_for(n, rf, tf))(rot_rays, trans))(norm_s)
+
+
+def _grid_route(image, mask, norm, rays4, P, params, Ts, S, F, band):
+    B, H, W = rays4.shape[0], rays4.shape[1], rays4.shape[2]
+    grids = _grids(norm, rays4, P, params, Ts, S, F)
+    gf = grids.reshape(S * F * B, H, W, 2)
+    preds = grid_sample_band(image, gf, padding_mode="border", band=band)
+    mask_flat = jnp.broadcast_to(
+        mask[None, ..., None], (F, B, H, W, 1)).reshape(F * B, H, W, 1)
+    warped = jnp.stack([
+        grid_sample(mask_flat, grids[s].reshape(F * B, H, W, 2),
+                    mode="nearest", padding_mode="zeros", impl="gather")
+        for s in range(S)])
+    overlap = (warped.reshape(S * F * B, H, W) == 1.0)
+    return preds, overlap
+
+
+@pytest.mark.parametrize("W,band", [(256, 16), (128, 8)])
+def test_warp_mei_forward_matches_grid_route(W, band):
+    S, F, B, H, C = 2, 2, 2, 16, 3
+    rng = np.random.RandomState(0)
+    image, norm, rays4, P, params, Ts = _scene(rng, S, F, B, H, W, C)
+    mask = rays4[..., 3]
+    rays_cf = jnp.moveaxis(rays4[..., 0:3], -1, 1)
+    mrows = wm.make_mei_rows(P, params, Ts, S)
+    out, overlap = wm.warp_mei_fused(image, mask, norm, rays_cf, mrows,
+                                     S, F, band, True)
+    ref, ref_ov = _grid_route(image, mask, norm, rays4, P, params, Ts,
+                              S, F, band)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4)
+    # overlap: the kernel's nearest + analytic in-bounds vs the grid
+    # route's nearest/zeros warp — identical up to the +-0.5-boundary and
+    # fx == 0.5 rounding knife-edges (measure disagreement rate)
+    agree = np.mean(np.asarray(overlap) == np.asarray(ref_ov))
+    assert agree > 0.999, agree
+
+
+def test_warp_mei_grad_matches_grid_route():
+    S, F, B, H, W, C, band = 2, 2, 1, 16, 256, 3, 16
+    rng = np.random.RandomState(1)
+    image, norm, rays4, P, params, Ts = _scene(rng, S, F, B, H, W, C)
+    mask = rays4[..., 3]
+    rays_cf = jnp.moveaxis(rays4[..., 0:3], -1, 1)
+    mrows = wm.make_mei_rows(P, params, Ts, S)
+
+    def loss_direct(n):
+        out, _ = wm.warp_mei_fused(image, mask, n, rays_cf, mrows, S, F,
+                                   band, False)
+        return jnp.sum(jnp.sin(out * 3.0))
+
+    def loss_grid(n):
+        grids = _grids(n, rays4, P, params, Ts, S, F)
+        out = grid_sample_band(image, grids.reshape(S * F * B, H, W, 2),
+                               padding_mode="border", band=band)
+        return jnp.sum(jnp.sin(out * 3.0))
+
+    g_direct = jax.grad(loss_direct)(norm)
+    g_grid = jax.grad(loss_grid)(norm)
+    scale = float(jnp.max(jnp.abs(g_grid))) + 1e-8
+    np.testing.assert_allclose(np.asarray(g_direct) / scale,
+                               np.asarray(g_grid) / scale, atol=3e-4)
+
+
+def test_warp_mei_bf16_packed_path():
+    """bf16 images take the row-pair packed kernels; the overlap mask must
+    be identical to the f32 path (its pass is always f32/unpacked)."""
+    S, F, B, H, W, C, band = 1, 2, 2, 16, 256, 3, 16
+    rng = np.random.RandomState(2)
+    image, norm, rays4, P, params, Ts = _scene(rng, S, F, B, H, W, C)
+    mask = rays4[..., 3]
+    rays_cf = jnp.moveaxis(rays4[..., 0:3], -1, 1)
+    mrows = wm.make_mei_rows(P, params, Ts, S)
+    img_bf = image.astype(jnp.bfloat16)
+
+    out_bf, ov_bf = wm.warp_mei_fused(img_bf, mask, norm, rays_cf, mrows,
+                                      S, F, band, True)
+    out_f32, ov_f32 = wm.warp_mei_fused(
+        img_bf.astype(jnp.float32), mask, norm, rays_cf, mrows, S, F,
+        band, True)
+    assert out_bf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out_bf, dtype=np.float32),
+        np.asarray(out_f32.astype(jnp.bfloat16), dtype=np.float32),
+        atol=1e-2)
+    assert bool(jnp.all(ov_bf == ov_f32))
