@@ -184,3 +184,85 @@ def test_warp_mei_bf16_packed_path():
         np.asarray(out_f32.astype(jnp.bfloat16), dtype=np.float32),
         atol=1e-2)
     assert bool(jnp.all(ov_bf == ov_f32))
+
+
+@pytest.mark.heavy
+def test_fisheye_loss_norm_direct_matches_grid_route(monkeypatch):
+    """Decoder integration: the norm-direct dispatch in FishEyeDecoder
+    (forced on, interpret kernels) must reproduce the grid-route loss and
+    parameter gradients on a full fisheye model — including the overlap
+    mask fold (nearest mask warp + zeros padding semantics)."""
+    import fsnet_tpu.models.heads.fisheye_decoder as fd
+    from fsnet_tpu.models import MonoDepthWPose
+    from fsnet_tpu.ops.fisheye import MeiCameraProjection
+    from fsnet_tpu.utils.keys import encode_batch
+
+    B, H, W = 1, 64, 128
+    P_np = np.zeros((3, 4), np.float32)
+    P_np[0, 0] = P_np[1, 1] = 1.3 * W
+    P_np[0, 2], P_np[1, 2], P_np[2, 2] = W / 2.0, H / 2.0, 1.0
+    rng = np.random.RandomState(0)
+    P = np.tile(P_np[None], (B, 1, 1))
+    pose = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    pose[:, 0, 3] = 0.1
+    pose[:, 2, 3] = 0.4
+
+    mei = MeiCameraProjection()
+    X, Y, Z, mask = mei.get_ray_map(
+        H, W, P_np, {"mirror_parameters": {"xi": 2.17},
+                     "distortion_parameters": {"k1": 1.68, "k2": 0.0}})
+    rays = np.stack([X[0], Y[0], Z[0], mask[0]], axis=-1)
+
+    img = lambda: rng.rand(B, H, W, 3).astype(np.float32)  # noqa: E731
+    data = {
+        ("image", 0): img(), ("image", 1): img(), ("image", -1): img(),
+        ("original_image", 0): img(), ("original_image", 1): img(),
+        ("original_image", -1): img(),
+        ("relative_pose", 1): pose, ("relative_pose", -1): pose.copy(),
+        "P2": P.astype(np.float32),
+        "fisheye_rays": np.tile(rays[None], (B, 1, 1, 1)).astype(np.float32),
+        "fisheye_params": np.tile(
+            np.array([[2.17, 1.68, 0.0]], np.float32), (B, 1)),
+        "patched_mask": np.ones((B, H, W), np.float32),
+    }
+    batch = encode_batch(data)
+
+    model = MonoDepthWPose(
+        depth_backbone_cfg=dict(
+            name="fsnet_tpu.models.backbones.resnet.resnet", depth=18,
+            out_indices=(-1, 0, 1, 2, 3), norm_eval=False),
+        head_cfg=dict(
+            name="fsnet_tpu.models.heads.fisheye_decoder.FishEyeDecoder",
+            scales=(0, 1, 2, 3), height=H, width=W, min_depth=0.1,
+            max_depth=30.0, is_log_image=False, overlapped_mask=True,
+            warp_band=16,
+            depth_decoder_cfg=dict(
+                name="fsnet_tpu.models.heads.depth_decoder."
+                     "MultiChannelDepthDecoder",
+                num_output_channels=16, scales=(0, 1, 2, 3),
+                min_depth=0.1, max_depth=30.0)),
+        train_cfg=dict(frame_ids=(0, 1, -1)),
+        test_cfg=dict(),
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "loss_noise": jax.random.PRNGKey(1)},
+        batch, {"is_training": True})
+
+    def lossfn(params, direct):
+        monkeypatch.setattr(
+            fd, "warp_mei_supported",
+            (lambda *a: True) if direct else (lambda *a: False))
+        out, _ = model.apply({**variables, "params": params}, batch,
+                             {"is_training": True},
+                             rngs={"loss_noise": jax.random.PRNGKey(1)},
+                             mutable=["batch_stats"])
+        return out["loss"]
+
+    p = variables["params"]
+    l0, g0 = jax.value_and_grad(lambda q: lossfn(q, False))(p)
+    l1, g1 = jax.value_and_grad(lambda q: lossfn(q, True))(p)
+    assert abs(float(l0) - float(l1)) < 2e-5, (float(l0), float(l1))
+    scale = max(float(jnp.abs(x).max()) for x in jax.tree_util.tree_leaves(g0))
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 5e-4 * max(scale, 1.0)
