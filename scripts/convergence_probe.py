@@ -237,6 +237,10 @@ def run(tag, warp_impl, compute_dtype, batches, gts, steps, eval_every,
                       make_train_step(donate=False, compute_dtype=dtype),
                       make_eval_step())
     model, train_step, eval_step = _cache[ck]
+    # pin the batches on-device once: passing the host numpy batch into the
+    # jitted step re-ships ~35 MB over the remote-TPU tunnel EVERY step
+    # (~0.9 s/step measured — 30x the step itself)
+    batches = [jax.device_put(b) for b in batches]
     tx, _ = build_optimizer(dict(name="adam", lr=1e-4),
                             dict(name="StepLR", step_size=15),
                             steps_per_epoch=len(batches), clip_gradients=1.0)

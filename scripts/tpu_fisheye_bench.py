@@ -34,8 +34,18 @@ def _batch():
     P_np[0, 2], P_np[1, 2], P_np[2, 2] = W / 2.0, H / 2.0, 1.0
     rng = np.random.RandomState(0)
     P = np.tile(P_np[None], (B, 1, 1))
+    # realistic KITTI-360 side-camera motion (honest-bench mandate,
+    # BASELINE.md fisheye band probe): vehicle forward = camera x, so the
+    # dominant translation is +-0.7 m along x with +-0.3 deg rotations —
+    # toy displacements keep the dynamic gather windows coherent and
+    # flatter the number
+    from scipy.spatial.transform import Rotation
     pose = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
-    pose[:, 0, 3] = 0.15
+    for b in range(B):
+        pose[b, :3, :3] = Rotation.from_euler(
+            "xyz", rng.uniform(-0.3, 0.3, 3), degrees=True).as_matrix()
+        pose[b, :3, 3] = [rng.uniform(0.55, 0.8), rng.uniform(-0.02, 0.02),
+                          rng.uniform(-0.05, 0.05)]
     mei = MeiCameraProjection()
     X, Y, Z, mask = mei.get_ray_map(
         H, W, P_np, {"mirror_parameters": {"xi": XI},
@@ -77,7 +87,11 @@ def _model():
 
 
 def main():
+    from fsnet_tpu.ops.warp_mei import warp_mei_supported
+
     model = _model()
+    print("norm-direct Mei path:",
+          warp_mei_supported((2 * B, H, W, 3), 16), flush=True)
     batch = jax.device_put(_batch())
     tx, _ = build_optimizer(dict(name="adam", lr=1e-4), None,
                             steps_per_epoch=100)
