@@ -31,6 +31,7 @@ from ...ops.ssim import (
     ssim as ssim_fn, ssim_target_stats, ssim_target_stats_tiled, ssim_tiled,
 )
 from ...ops.warp import _unnormalize
+from ...ops.photo_loss import photo_loss_supported, reprojection_loss_fused
 from ...ops.warp_depth import (
     make_affine_rows, warp_depth_fused, warp_depth_supported)
 from ...ops.warp_fast import (
@@ -360,6 +361,13 @@ class MonoDepth2Decoder(nn.Module):
             s_d = jnp.mean(ssim_tiled(preds_t, tgt_sf, y_stats=st_sf),
                            axis=3)
             proj_loss = (0.85 * s_d + 0.15 * l1).reshape(S, F, B, H, W)
+        elif photo_loss_supported((S * F * B, H, W, preds.shape[-1])):
+            # fused Pallas photometric pass (ops/photo_loss.py): SSIM pools
+            # + moments + L1 in one kernel sweep per direction; the kernel
+            # broadcasts the target by n mod B itself
+            proj_loss = reprojection_loss_fused(
+                preds.reshape(-1, H, W, preds.shape[-1]), target,
+                *t_stats).reshape(S, F, B, H, W)
         else:
             target_tiled = jnp.broadcast_to(
                 target[None, None],
@@ -391,11 +399,18 @@ class MonoDepth2Decoder(nn.Module):
         else:
             # identity automask: static-scene pixels prefer the un-warped
             # source (reference monodepth2_decoder.py:248-263)
-            identity = jnp.stack([
-                reprojection_loss(input_dict[("original_image", f)], target,
-                                  target_stats=t_stats)
-                for f in frames
-            ], axis=0)[..., 0]  # [F, B, H, W]
+            sources = jnp.stack([
+                input_dict[("original_image", f)] for f in frames], axis=0)
+            if photo_loss_supported((F * B, H, W, sources.shape[-1])):
+                identity = reprojection_loss_fused(
+                    sources.reshape(F * B, H, W, sources.shape[-1]), target,
+                    *t_stats).reshape(F, B, H, W)
+            else:
+                identity = jnp.stack([
+                    reprojection_loss(sources[fi], target,
+                                      target_stats=t_stats)
+                    for fi in range(F)
+                ], axis=0)[..., 0]  # [F, B, H, W]
             if noise_rng is not None:
                 identity = identity + jax.random.normal(
                     noise_rng, identity.shape, identity.dtype) * 1e-5

@@ -1,0 +1,88 @@
+"""Fused photometric reprojection loss: one Pallas pass per direction.
+
+Wraps ``ops/pallas/photo_kernel.py`` with the NHWC surface of
+``models.heads.monodepth2_decoder.reprojection_loss`` (reference
+``compute_reprojection_loss``, ``monodepth2_decoder.py:118-128``): per-pixel
+``ssim_weight * mean_c(ssim_dissim) + (1-ssim_weight) * mean_c(|x - y|)``
+against a target broadcast over N // B leading repeats, with precomputed
+target-side pooled stats. Only the prediction cotangent flows (targets are
+dataset constants in every caller — the warped sources ARE differentiable
+and arrive as ``pred``).
+"""
+from __future__ import annotations
+
+import os as _os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .pallas.photo_kernel import photo_loss_pallas, photo_loss_bwd_pallas
+
+_LANE = 128
+
+#: A/B toggle for the fused photometric kernel (XLA route stays available)
+PHOTO_KERNEL = _os.environ.get("FSNET_PHOTO_KERNEL", "1") != "0"
+
+
+def photo_loss_supported(pred_shape) -> bool:
+    """TPU backends, lane-tileable width, poolable height."""
+    if not PHOTO_KERNEL or jax.default_backend() not in ("tpu", "axon"):
+        return False
+    N, H, W, C = pred_shape
+    return ((W % _LANE == 0 or (W <= _LANE and W % 8 == 0))
+            and H % 2 == 0 and H >= 4 and W >= 8)
+
+
+def _tile(x: jnp.ndarray, L: int) -> jnp.ndarray:
+    B, H, W, C = x.shape
+    return jnp.moveaxis(x.reshape(B, H, W // L, L, C), 4, 3)
+
+
+def _untile(x: jnp.ndarray) -> jnp.ndarray:
+    N, H, T, C, L = x.shape
+    return jnp.moveaxis(x, 3, 4).reshape(N, H, T * L, C)
+
+
+def _prep(pred, target, target_stats):
+    W = pred.shape[2]
+    L = W if W <= _LANE else _LANE
+    xpad = jnp.pad(_tile(pred, L), ((0, 0), (2, 2), (0, 0), (0, 0), (0, 0)),
+                   mode="reflect")
+    ypad = jnp.pad(_tile(target, L),
+                   ((0, 0), (2, 2), (0, 0), (0, 0), (0, 0)), mode="reflect")
+    muy, sy = target_stats
+    return xpad, ypad, _tile(muy, L), _tile(sy, L)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def reprojection_loss_fused(pred, target, muy, sy, ssim_weight=0.85):
+    """``pred`` [N, H, W, C], ``target`` [B, H, W, C] (N % B == 0; pred n
+    compares against target n mod B), (muy, sy) the NHWC
+    :func:`fsnet_tpu.ops.ssim.ssim_target_stats` of ``target`` ->
+    per-pixel loss [N, H, W] in pred's dtype."""
+    xpad, ypad, muy_t, sy_t = _prep(pred, target, (muy, sy))
+    out = photo_loss_pallas(xpad, ypad, muy_t, sy_t, ssim_weight)
+    N, H = out.shape[0], out.shape[1]
+    return out.reshape(N, H, -1)
+
+
+def _fwd(pred, target, muy, sy, ssim_weight):
+    xpad, ypad, muy_t, sy_t = _prep(pred, target, (muy, sy))
+    out = photo_loss_pallas(xpad, ypad, muy_t, sy_t, ssim_weight)
+    N, H = out.shape[0], out.shape[1]
+    return out.reshape(N, H, -1), (xpad, ypad, target, muy, sy)
+
+
+def _bwd(ssim_weight, residuals, g):
+    xpad, ypad, target, muy, sy = residuals
+    pdt = xpad.dtype
+    N, Hp, T, C, L = xpad.shape
+    gpad = jnp.pad(g.reshape(N, Hp - 4, T, L),
+                   ((0, 0), (1, 1), (0, 0), (0, 0)))
+    dx = photo_loss_bwd_pallas(xpad, ypad, gpad, ssim_weight)
+    return (_untile(dx).astype(pdt), jnp.zeros_like(target),
+            jnp.zeros_like(muy), jnp.zeros_like(sy))
+
+
+reprojection_loss_fused.defvjp(_fwd, _bwd)
