@@ -31,9 +31,11 @@ from ...ops.ssim import (
     ssim as ssim_fn, ssim_target_stats, ssim_target_stats_tiled, ssim_tiled,
 )
 from ...ops.warp import _unnormalize
-from ...ops.photo_loss import photo_loss_supported, reprojection_loss_fused
+from ...ops.photo_loss import (
+    photo_loss_supported, reprojection_loss_fused, reprojection_loss_fused_t)
 from ...ops.warp_depth import (
-    make_affine_rows, warp_depth_fused, warp_depth_supported)
+    make_affine_rows, warp_depth_fused, warp_depth_fused_tiled,
+    warp_depth_supported)
 from ...ops.warp_fast import (
     _tile_nhwc, grid_sample, grid_sample_band_tiled,
     scale_batched_warp_is_fused,
@@ -212,6 +214,20 @@ class MonoDepth2Decoder(nn.Module):
                 and not self._use_tiled_loss()
                 and warp_depth_supported(sources_flat.shape, self.warp_band)):
             arows = make_affine_rows(K, inv_K, Ts, S)
+            if (photo_loss_supported((S * F * B, H, W, C))
+                    and not self.is_light_compensate):
+                # zero-relayout chain: tiled warp output feeds the fused
+                # photometric kernel directly; the NHWC view below exists
+                # only for output_dict/logging and is DCE'd under jit when
+                # nothing reads it
+                preds_tl, ov_flat = warp_depth_fused_tiled(
+                    sources_flat, depths_full.reshape(S * B, H, W), arows,
+                    S, F, self.warp_band)
+                preds = jnp.moveaxis(preds_tl, 3, 4).reshape(
+                    S, F, B, H, W, C)
+                overlap = (ov_flat.reshape(S, F, B, H, W)
+                           if self.overlapped_mask else None)
+                return preds, overlap, depths_full, None, preds_tl
             preds_flat, ov_flat = warp_depth_fused(
                 sources_flat, depths_full.reshape(S * B, H, W), arows, S, F,
                 self.warp_band)
@@ -331,6 +347,7 @@ class MonoDepth2Decoder(nn.Module):
         warp_res = self._warp_all(input_dict, output_dict)
         preds, overlap, depths_full = warp_res[:3]
         preds_t = warp_res[3] if len(warp_res) > 3 else None
+        preds_photo_t = warp_res[4] if len(warp_res) > 4 else None
         for si, s in enumerate(scales):
             output_dict[("depth", 0, s)] = depths_full[si]
             for fi, f in enumerate(frames):
@@ -361,6 +378,12 @@ class MonoDepth2Decoder(nn.Module):
             s_d = jnp.mean(ssim_tiled(preds_t, tgt_sf, y_stats=st_sf),
                            axis=3)
             proj_loss = (0.85 * s_d + 0.15 * l1).reshape(S, F, B, H, W)
+        elif preds_photo_t is not None:
+            # zero-relayout handoff: the fused warp's native tiled output
+            # feeds the fused photometric kernel; its backward emits the
+            # tiled cotangent the warp VJP consumes directly
+            proj_loss = reprojection_loss_fused_t(
+                preds_photo_t, target, *t_stats).reshape(S, F, B, H, W)
         elif photo_loss_supported((S * F * B, H, W, preds.shape[-1])):
             # fused Pallas photometric pass (ops/photo_loss.py): SSIM pools
             # + moments + L1 in one kernel sweep per direction; the kernel

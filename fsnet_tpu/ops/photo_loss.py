@@ -86,3 +86,45 @@ def _bwd(ssim_weight, residuals, g):
 
 
 reprojection_loss_fused.defvjp(_fwd, _bwd)
+
+
+def _prep_t(pred_t, target, target_stats):
+    L = pred_t.shape[-1]
+    xpad = jnp.pad(pred_t, ((0, 0), (2, 2), (0, 0), (0, 0), (0, 0)),
+                   mode="reflect")
+    ypad = jnp.pad(_tile(target, L),
+                   ((0, 0), (2, 2), (0, 0), (0, 0), (0, 0)), mode="reflect")
+    muy, sy = target_stats
+    return xpad, ypad, _tile(muy, L), _tile(sy, L)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def reprojection_loss_fused_t(pred_t, target, muy, sy, ssim_weight=0.85):
+    """:func:`reprojection_loss_fused` on kernel-tiled predictions
+    [N, H, T, C, L] (the fused warp's native output layout) — no NHWC
+    relayout in either direction; the backward emits the tiled cotangent
+    the warp kernels' VJP consumes directly."""
+    xpad, ypad, muy_t, sy_t = _prep_t(pred_t, target, (muy, sy))
+    out = photo_loss_pallas(xpad, ypad, muy_t, sy_t, ssim_weight)
+    N, H = out.shape[0], out.shape[1]
+    return out.reshape(N, H, -1)
+
+
+def _fwd_t(pred_t, target, muy, sy, ssim_weight):
+    xpad, ypad, muy_t, sy_t = _prep_t(pred_t, target, (muy, sy))
+    out = photo_loss_pallas(xpad, ypad, muy_t, sy_t, ssim_weight)
+    N, H = out.shape[0], out.shape[1]
+    return out.reshape(N, H, -1), (xpad, ypad, target, muy, sy)
+
+
+def _bwd_t(ssim_weight, residuals, g):
+    xpad, ypad, target, muy, sy = residuals
+    N, Hp, T, C, L = xpad.shape
+    gpad = jnp.pad(g.reshape(N, Hp - 4, T, L),
+                   ((0, 0), (1, 1), (0, 0), (0, 0)))
+    dx = photo_loss_bwd_pallas(xpad, ypad, gpad, ssim_weight)
+    return (dx.astype(xpad.dtype), jnp.zeros_like(target),
+            jnp.zeros_like(muy), jnp.zeros_like(sy))
+
+
+reprojection_loss_fused_t.defvjp(_fwd_t, _bwd_t)

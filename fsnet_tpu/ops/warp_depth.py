@@ -64,8 +64,9 @@ def make_affine_rows(K: jnp.ndarray, inv_K: jnp.ndarray, Ts: jnp.ndarray,
     return jnp.broadcast_to(rows[None], (S, F, B, 16)).reshape(-1, 16)
 
 
-def _fwd_impl(image, depth, arows, S, F, band):
-    """-> (out NHWC [N, H, W, C], overlap bool [N, H, W], va, vb tiled)."""
+def _fwd_impl(image, depth, arows, S, F, band, tiled_out=False):
+    """-> (out [N, H, W, C] NHWC, or [N, H, T, C, L] kernel-tiled when
+    ``tiled_out``; overlap bool [N, H, W]; va, vb tiled)."""
     C = image.shape[3]
     packed = wk._use_packed(image, band)
     iword, fpack, ymin_rows, ws = warp_prep_pallas(
@@ -78,7 +79,8 @@ def _fwd_impl(image, depth, arows, S, F, band):
         rows = band
     out, va, vb = wk.warp_rows_pallas_dma_fused(
         img_tiled, ymin_rows, ws, iword, fpack, rows, C, group=8,
-        packed=packed, tiled_vjp=TILED_VJP, border=True)
+        packed=packed, tiled_vjp="all" if tiled_out else TILED_VJP,
+        border=True)
     overlap = ((iword >> 28) & 1).astype(bool)
     return out.astype(image.dtype), overlap, va.astype(image.dtype), \
         vb.astype(image.dtype)
@@ -118,3 +120,35 @@ def _bwd(S, F, band, residuals, cot):
 
 
 warp_depth_fused.defvjp(_fwd, _bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def warp_depth_fused_tiled(image, depth, arows, S, F, band):
+    """:func:`warp_depth_fused` with the predictions left in the kernels'
+    native tiled layout [N, H, T, C, L] — the fused photometric kernel
+    (``ops/photo_loss.py``) consumes exactly this layout and its backward
+    emits the cotangent in it, so the whole warp -> loss -> d depth chain
+    runs with ZERO NHWC relayouts."""
+    out, overlap, _, _ = _fwd_impl(image, depth, arows, S, F, band,
+                                   tiled_out=True)
+    return out, overlap
+
+
+def _fwd_tiled(image, depth, arows, S, F, band):
+    out, overlap, va, vb = _fwd_impl(image, depth, arows, S, F, band,
+                                     tiled_out=True)
+    return (out, overlap), (image, depth, arows, va, vb)
+
+
+def _bwd_tiled(S, F, band, residuals, cot):
+    image, depth, arows, va, vb = residuals
+    g, _ = cot                      # tiled [N, H, T, C, L]
+    N, H = va.shape[0], va.shape[1]
+    gfx = jnp.sum(g * va, axis=3).reshape(N, H, -1)
+    gfy = jnp.sum(g * vb, axis=3).reshape(N, H, -1)
+    ddepth = warp_prep_bwd_pallas(depth, gfx, gfy, arows, S, F)
+    return (jnp.zeros_like(image), ddepth.astype(depth.dtype),
+            jnp.zeros_like(arows))
+
+
+warp_depth_fused_tiled.defvjp(_fwd_tiled, _bwd_tiled)

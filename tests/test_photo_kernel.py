@@ -142,3 +142,37 @@ def test_flagship_loss_fused_photo_matches_xla(monkeypatch):
     diffs = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
     assert max(jax.tree_util.tree_leaves(diffs)) < 5e-4 * max(scale, 1.0)
+
+
+@pytest.mark.heavy
+def test_flagship_loss_tiled_chain_matches_xla(monkeypatch):
+    """The zero-relayout chain (depth-direct Pallas warp -> tiled fused
+    photometric loss -> tiled cotangent -> prep backward), all forced on
+    with interpret kernels, vs the all-XLA route."""
+    import fsnet_tpu.models.heads.monodepth2_decoder as md
+    from fsnet_tpu.models import MonoDepthWPose
+    from test_models import _flagship_cfg, _synthetic_batch
+
+    model = MonoDepthWPose(**_flagship_cfg())
+    batch = _synthetic_batch(np.random.RandomState(0), batch=1)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "loss_noise": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, batch, {"is_training": True})
+
+    def lossfn(params, fused):
+        monkeypatch.setattr(md, "photo_loss_supported", lambda *a: fused)
+        monkeypatch.setattr(md, "warp_depth_supported", lambda *a: fused)
+        out, _ = model.apply({**variables, "params": params}, batch,
+                             {"is_training": True},
+                             rngs={"loss_noise": jax.random.PRNGKey(1)},
+                             mutable=["batch_stats"])
+        return out["loss"]
+
+    p = variables["params"]
+    l0, g0 = jax.value_and_grad(lambda q: lossfn(q, False))(p)
+    l1, g1 = jax.value_and_grad(lambda q: lossfn(q, True))(p)
+    assert abs(float(l0) - float(l1)) < 2e-5, (float(l0), float(l1))
+    scale = max(float(jnp.abs(x).max()) for x in jax.tree_util.tree_leaves(g0))
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 5e-4 * max(scale, 1.0)
