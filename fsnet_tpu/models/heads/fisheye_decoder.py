@@ -21,8 +21,10 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
+from ...ops.photo_loss import photo_loss_supported
 from ...ops.warp_fast import grid_sample, scale_batched_warp_is_fused
-from ...ops.warp_mei import make_mei_rows, warp_mei_fused, warp_mei_supported
+from ...ops.warp_mei import (
+    make_mei_rows, warp_mei_fused, warp_mei_fused_tiled, warp_mei_supported)
 from ..blocks import interpolate_bilinear
 from .monodepth2_decoder import MonoDepth2Decoder
 
@@ -112,6 +114,18 @@ class FishEyeDecoder(MonoDepth2Decoder):
             if "patched_mask" in input_dict:
                 mask = mask * input_dict["patched_mask"].astype(jnp.float32)
             mrows = make_mei_rows(P, params, Ts, S)
+            if photo_loss_supported((S * F * B, H, W, C)):
+                # zero-relayout chain (see the pinhole head): tiled warp
+                # output -> fused photometric kernel -> tiled cotangent
+                preds_tl, ov_flat = warp_mei_fused_tiled(
+                    sources_flat, mask, norms_full.reshape(S * B, H, W),
+                    rays_cf, mrows, S, F, self.warp_band,
+                    bool(self.overlapped_mask))
+                preds = jnp.moveaxis(preds_tl, 3, 4).reshape(
+                    S, F, B, H, W, C)
+                overlap = (ov_flat.reshape(S, F, B, H, W)
+                           if self.overlapped_mask else None)
+                return preds, overlap, norms_full, None, preds_tl
             preds_flat, ov_flat = warp_mei_fused(
                 sources_flat, mask, norms_full.reshape(S * B, H, W),
                 rays_cf, mrows, S, F, self.warp_band,

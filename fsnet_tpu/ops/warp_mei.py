@@ -70,8 +70,10 @@ def make_mei_rows(P: jnp.ndarray, params: jnp.ndarray, Ts: jnp.ndarray,
     return jnp.broadcast_to(rows[None], (S, F, B, 24)).reshape(-1, 24)
 
 
-def _fwd_impl(image, mask, norm, rays_cf, mrows, S, F, band, with_mask):
-    """-> (out NHWC [N, H, W, C], overlap bool [N, H, W] or None, va, vb)."""
+def _fwd_impl(image, mask, norm, rays_cf, mrows, S, F, band, with_mask,
+              tiled_out=False):
+    """-> (out [N, H, W, C] NHWC, or [N, H, T, C, L] kernel-tiled when
+    ``tiled_out``; overlap bool [N, H, W] or None; va, vb)."""
     C = image.shape[3]
     packed = wk._use_packed(image, band)
     iword, fpack, ymin, ws = mei_prep_pallas(norm, rays_cf, mrows, S, F,
@@ -86,7 +88,8 @@ def _fwd_impl(image, mask, norm, rays_cf, mrows, S, F, band, with_mask):
         rows = band
     out, va, vb = wk.warp_rows_pallas_dma_fused(
         img_tiled, ymin_img, ws, iword, fpack, rows, C, group=8,
-        packed=packed, tiled_vjp=TILED_VJP, border=True)
+        packed=packed, tiled_vjp="all" if tiled_out else TILED_VJP,
+        border=True)
 
     overlap = None
     if with_mask:
@@ -143,3 +146,35 @@ def _bwd(S, F, band, with_mask, residuals, cot):
 
 
 warp_mei_fused.defvjp(_fwd, _bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def warp_mei_fused_tiled(image, mask, norm, rays_cf, mrows, S, F, band,
+                         with_mask):
+    """:func:`warp_mei_fused` with predictions left in the kernels' native
+    tiled [N, H, T, C, L] layout for the fused photometric kernel
+    (``ops/photo_loss.py``) — zero NHWC relayouts either direction."""
+    out, overlap, _, _ = _fwd_impl(image, mask, norm, rays_cf, mrows, S, F,
+                                   band, with_mask, tiled_out=True)
+    return out, overlap
+
+
+def _fwd_tiled(image, mask, norm, rays_cf, mrows, S, F, band, with_mask):
+    out, overlap, va, vb = _fwd_impl(image, mask, norm, rays_cf, mrows, S,
+                                     F, band, with_mask, tiled_out=True)
+    return (out, overlap), (image, mask, norm, rays_cf, mrows, va, vb)
+
+
+def _bwd_tiled(S, F, band, with_mask, residuals, cot):
+    image, mask, norm, rays_cf, mrows, va, vb = residuals
+    g = cot[0]                      # tiled [N, H, T, C, L]
+    N, H = va.shape[0], va.shape[1]
+    gfx = jnp.sum(g * va, axis=3).reshape(N, H, -1)
+    gfy = jnp.sum(g * vb, axis=3).reshape(N, H, -1)
+    dnorm = mei_prep_bwd_pallas(norm, rays_cf, gfx, gfy, mrows, S, F)
+    return (jnp.zeros_like(image), jnp.zeros_like(mask),
+            dnorm.astype(norm.dtype), jnp.zeros_like(rays_cf),
+            jnp.zeros_like(mrows))
+
+
+warp_mei_fused_tiled.defvjp(_fwd_tiled, _bwd_tiled)

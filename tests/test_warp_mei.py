@@ -249,9 +249,14 @@ def test_fisheye_loss_norm_direct_matches_grid_route(monkeypatch):
         batch, {"is_training": True})
 
     def lossfn(params, direct):
+        # force the full norm-direct chain incl. the tiled fused
+        # photometric handoff (photo_loss_supported gates it)
         monkeypatch.setattr(
             fd, "warp_mei_supported",
             (lambda *a: True) if direct else (lambda *a: False))
+        monkeypatch.setattr(fd, "photo_loss_supported", lambda *a: direct)
+        import fsnet_tpu.models.heads.monodepth2_decoder as md
+        monkeypatch.setattr(md, "photo_loss_supported", lambda *a: direct)
         out, _ = model.apply({**variables, "params": params}, batch,
                              {"is_training": True},
                              rngs={"loss_noise": jax.random.PRNGKey(1)},
