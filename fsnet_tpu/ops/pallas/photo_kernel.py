@@ -47,9 +47,14 @@ _C2 = 0.03 ** 2
 
 
 def _mm(x2d, wmat):
+    # HIGHEST: the MXU's default single-pass bf16 multiply rounds the 1/9
+    # taps and the f32 operands (~7e-3 abs loss error measured on v5e);
+    # these banded [*, L] x [L, L] matmuls are a small slice of the kernel
+    # so the 3-pass exact-f32 mode is cheap
     return jax.lax.dot_general(
         x2d, wmat, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _wmats(L, transpose: bool):
@@ -151,7 +156,7 @@ def _pools_x(X, Y, R, T, L):
 
 
 def _fwd_kernel(xpad_ref, ypad_ref, muy_ref, sy_ref, out_ref,
-                scr_x, sem_x, scr_y, sem_y, *, G, T, C, L, B, sw):
+                scr_x, sem_x, scr_y, sem_y, *, G, T, C, L, B, sw, Cn):
     slot = _multi_dma(
         [(xpad_ref, scr_x, sem_x, lambda n_: n_, 1, G + 2),
          (ypad_ref, scr_y, sem_y, lambda n_: jax.lax.rem(n_, B), 1, G + 2)],
@@ -171,13 +176,16 @@ def _fwd_kernel(xpad_ref, ypad_ref, muy_ref, sy_ref, out_ref,
     xc = X[1:G + 1]
     yc = Y[1:G + 1]
     l1 = jnp.abs(xc - yc)
-    loss = jnp.mean(sw * ssim_d + (1.0 - sw) * l1, axis=2)  # [G, T, L]
+    # sum over (possibly zero-padded) channels, normalize by the true count
+    # Cn: padded channels are exactly neutral (x = y = 0 -> ssim r = 1,
+    # dissim 0; |x - y| = 0)
+    loss = jnp.sum(sw * ssim_d + (1.0 - sw) * l1, axis=2) / Cn  # [G, T, L]
     out_ref[0] = loss.astype(out_ref.dtype)
 
 
 def _bwd_kernel(xpad_ref, ypad_ref, gpad_ref, dx_ref,
                 scr_x, sem_x, scr_y, sem_y, scr_g, sem_g, *,
-                G, T, C, L, B, sw):
+                G, T, C, L, B, sw, Cn):
     slot = _multi_dma(
         [(xpad_ref, scr_x, sem_x, lambda n_: n_, 0, G + 4),
          (ypad_ref, scr_y, sem_y, lambda n_: jax.lax.rem(n_, B), 0, G + 4),
@@ -185,7 +193,10 @@ def _bwd_kernel(xpad_ref, ypad_ref, gpad_ref, dx_ref,
         G=G)
     X = scr_x[slot].astype(jnp.float32)          # [G+4, T, C, L]
     Y = scr_y[slot].astype(jnp.float32)
-    gw = scr_g[slot].astype(jnp.float32)         # [G+2, T, L]
+    # gpad rides a 2-sublane dim ([N, Ho+2, T, 2, L], row 1 zeros) so its
+    # row DMA slices only untiled dims and the sublane dim matches the
+    # minimal tile of both f32 and bf16; squeeze after the VMEM load
+    gw = scr_g[slot].astype(jnp.float32)[:, :, 0]  # [G+2, T, L]
 
     R = G + 2                                    # pooled rows r-1 .. r+G
     u, v, w = _pools_x(X, Y, R, T, L)
@@ -204,7 +215,7 @@ def _bwd_kernel(xpad_ref, ypad_ref, gpad_ref, dx_ref,
     val = (1.0 - r) * 0.5
     gclip = ((val > 0.0) & (val < 1.0)).astype(jnp.float32)
 
-    base = gw[:, :, None] * (-0.5 * sw / C) * gclip     # [R, T, C, L]
+    base = gw[:, :, None] * (-0.5 * sw / Cn) * gclip     # [R, T, C, L]
     dr_dsx = -r * inv2
     dr_dw = 2.0 * n1 * inv1 * inv2
     dr_du = (2.0 * muy * n2 * inv1 * inv2 - r * 2.0 * u * inv1
@@ -232,11 +243,16 @@ def _bwd_kernel(xpad_ref, ypad_ref, gpad_ref, dx_ref,
     top = (h == 0).astype(jnp.float32)
     bot = (h == pl.num_programs(1) - 1).astype(jnp.float32)
 
+    # Mosaic has no scatter-add: express the two static-row adds as
+    # iota-masked broadcasts instead of hq.at[row].add(...)
+    row = jax.lax.broadcasted_iota(jnp.int32, (G, 1, 1, 1), 0)
+    m_top = jnp.where(row == 1, top, 0.0)
+    m_bot = jnp.where(row == G - 2, bot, 0.0)
+
     def edge_fix(hq, wq):
         # local pooled row j <-> abs row h*G + j - 1: abs 0 -> j=1 (first
         # block), abs H-1 -> j=G (last block)
-        hq = hq.at[1].add(top * wq[1])
-        return hq.at[G - 2].add(bot * wq[G])
+        return hq + m_top * wq[1][None] + m_bot * wq[G][None]
 
     hu = edge_fix(hu, wu)
     hv = edge_fix(hv, wv)
@@ -245,14 +261,15 @@ def _bwd_kernel(xpad_ref, ypad_ref, gpad_ref, dx_ref,
     xc = X[2:G + 2]
     yc = Y[2:G + 2]
     gc = gw[1:G + 1][:, :, None]                 # center cotangent rows
-    dl1 = gc * ((1.0 - sw) / C) * jnp.sign(xc - yc)
+    dl1 = gc * ((1.0 - sw) / Cn) * jnp.sign(xc - yc)
     dx = hu + 2.0 * xc * hv + yc * hw + dl1
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
 def photo_loss_pallas(xpad: jnp.ndarray, ypad: jnp.ndarray,
                       muy: jnp.ndarray, sy: jnp.ndarray,
-                      ssim_weight: float = 0.85, group: int = 32):
+                      ssim_weight: float = 0.85, group: int = 32,
+                      cn: int | None = None):
     """``xpad`` [N, Ho+4, T, C, L] reflect-2-row-padded tiled predictions,
     ``ypad`` [B, Ho+4, T, C, L] same for the target, ``muy``/``sy``
     [B, Ho, T, C, L] the pooled target stats -> per-pixel loss
@@ -262,7 +279,7 @@ def photo_loss_pallas(xpad: jnp.ndarray, ypad: jnp.ndarray,
     B = ypad.shape[0]
     G = _group(group, Ho, T, C, L, xpad.dtype.itemsize)
     kernel = functools.partial(_fwd_kernel, G=G, T=T, C=C, L=L, B=B,
-                               sw=float(ssim_weight))
+                               sw=float(ssim_weight), Cn=float(cn or C))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((N, Ho, T, L), xpad.dtype),
@@ -296,15 +313,16 @@ def photo_loss_pallas(xpad: jnp.ndarray, ypad: jnp.ndarray,
 
 def photo_loss_bwd_pallas(xpad: jnp.ndarray, ypad: jnp.ndarray,
                           gpad: jnp.ndarray, ssim_weight: float = 0.85,
-                          group: int = 32):
+                          group: int = 32, cn: int | None = None):
     """``gpad`` [N, Ho+2, T, L] zero-1-row-padded cotangent -> dx
     [N, Ho, T, C, L] f32 (the target/stats are loss constants)."""
     N, Hp, T, C, L = xpad.shape
+    gpad = jnp.stack([gpad, jnp.zeros_like(gpad)], axis=3)  # 2-sublane dim
     Ho = Hp - 4
     B = ypad.shape[0]
     G = _group(group, Ho, T, C, L, xpad.dtype.itemsize)
     kernel = functools.partial(_bwd_kernel, G=G, T=T, C=C, L=L, B=B,
-                               sw=float(ssim_weight))
+                               sw=float(ssim_weight), Cn=float(cn or C))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((N, Ho, T, C, L), jnp.float32),
@@ -320,7 +338,7 @@ def photo_loss_bwd_pallas(xpad: jnp.ndarray, ypad: jnp.ndarray,
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((2, G + 4, T, C, L), ypad.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((2, G + 2, T, L), gpad.dtype),
+                pltpu.VMEM((2, G + 2, T, 2, L), gpad.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),

@@ -39,6 +39,19 @@ def _tile(x: jnp.ndarray, L: int) -> jnp.ndarray:
     return jnp.moveaxis(x.reshape(B, H, W // L, L, C), 4, 3)
 
 
+def _pad_c(x: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad the channel dim of a tiled [N, H, T, C, L] array to a
+    multiple of 4: Mosaic tiles the (C, L) minor dims and the kernels' row
+    DMAs require the sublane dim aligned to its tile. Padded channels are
+    exactly neutral through SSIM (x = y = 0 -> r = 1, dissim 0, clip gate
+    0 in the VJP) and L1 (sign(0) = 0); the kernels normalize by the true
+    channel count ``cn``."""
+    C = x.shape[3]
+    if C % 4 == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, -C % 4), (0, 0)))
+
+
 def _untile(x: jnp.ndarray) -> jnp.ndarray:
     N, H, T, C, L = x.shape
     return jnp.moveaxis(x, 3, 4).reshape(N, H, T * L, C)
@@ -47,12 +60,12 @@ def _untile(x: jnp.ndarray) -> jnp.ndarray:
 def _prep(pred, target, target_stats):
     W = pred.shape[2]
     L = W if W <= _LANE else _LANE
-    xpad = jnp.pad(_tile(pred, L), ((0, 0), (2, 2), (0, 0), (0, 0), (0, 0)),
-                   mode="reflect")
-    ypad = jnp.pad(_tile(target, L),
+    xpad = jnp.pad(_pad_c(_tile(pred, L)),
+                   ((0, 0), (2, 2), (0, 0), (0, 0), (0, 0)), mode="reflect")
+    ypad = jnp.pad(_pad_c(_tile(target, L)),
                    ((0, 0), (2, 2), (0, 0), (0, 0), (0, 0)), mode="reflect")
     muy, sy = target_stats
-    return xpad, ypad, _tile(muy, L), _tile(sy, L)
+    return xpad, ypad, _pad_c(_tile(muy, L)), _pad_c(_tile(sy, L))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -62,14 +75,16 @@ def reprojection_loss_fused(pred, target, muy, sy, ssim_weight=0.85):
     :func:`fsnet_tpu.ops.ssim.ssim_target_stats` of ``target`` ->
     per-pixel loss [N, H, W] in pred's dtype."""
     xpad, ypad, muy_t, sy_t = _prep(pred, target, (muy, sy))
-    out = photo_loss_pallas(xpad, ypad, muy_t, sy_t, ssim_weight)
+    out = photo_loss_pallas(xpad, ypad, muy_t, sy_t, ssim_weight,
+                            cn=target.shape[-1])
     N, H = out.shape[0], out.shape[1]
     return out.reshape(N, H, -1)
 
 
 def _fwd(pred, target, muy, sy, ssim_weight):
     xpad, ypad, muy_t, sy_t = _prep(pred, target, (muy, sy))
-    out = photo_loss_pallas(xpad, ypad, muy_t, sy_t, ssim_weight)
+    out = photo_loss_pallas(xpad, ypad, muy_t, sy_t, ssim_weight,
+                            cn=target.shape[-1])
     N, H = out.shape[0], out.shape[1]
     return out.reshape(N, H, -1), (xpad, ypad, target, muy, sy)
 
@@ -80,7 +95,9 @@ def _bwd(ssim_weight, residuals, g):
     N, Hp, T, C, L = xpad.shape
     gpad = jnp.pad(g.reshape(N, Hp - 4, T, L),
                    ((0, 0), (1, 1), (0, 0), (0, 0)))
-    dx = photo_loss_bwd_pallas(xpad, ypad, gpad, ssim_weight)
+    dx = photo_loss_bwd_pallas(xpad, ypad, gpad, ssim_weight,
+                               cn=target.shape[-1])
+    dx = dx[:, :, :, :target.shape[-1]]
     return (_untile(dx).astype(pdt), jnp.zeros_like(target),
             jnp.zeros_like(muy), jnp.zeros_like(sy))
 
@@ -90,12 +107,12 @@ reprojection_loss_fused.defvjp(_fwd, _bwd)
 
 def _prep_t(pred_t, target, target_stats):
     L = pred_t.shape[-1]
-    xpad = jnp.pad(pred_t, ((0, 0), (2, 2), (0, 0), (0, 0), (0, 0)),
+    xpad = jnp.pad(_pad_c(pred_t), ((0, 0), (2, 2), (0, 0), (0, 0), (0, 0)),
                    mode="reflect")
-    ypad = jnp.pad(_tile(target, L),
+    ypad = jnp.pad(_pad_c(_tile(target, L)),
                    ((0, 0), (2, 2), (0, 0), (0, 0), (0, 0)), mode="reflect")
     muy, sy = target_stats
-    return xpad, ypad, _tile(muy, L), _tile(sy, L)
+    return xpad, ypad, _pad_c(_tile(muy, L)), _pad_c(_tile(sy, L))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -105,14 +122,16 @@ def reprojection_loss_fused_t(pred_t, target, muy, sy, ssim_weight=0.85):
     relayout in either direction; the backward emits the tiled cotangent
     the warp kernels' VJP consumes directly."""
     xpad, ypad, muy_t, sy_t = _prep_t(pred_t, target, (muy, sy))
-    out = photo_loss_pallas(xpad, ypad, muy_t, sy_t, ssim_weight)
+    out = photo_loss_pallas(xpad, ypad, muy_t, sy_t, ssim_weight,
+                            cn=target.shape[-1])
     N, H = out.shape[0], out.shape[1]
     return out.reshape(N, H, -1)
 
 
 def _fwd_t(pred_t, target, muy, sy, ssim_weight):
     xpad, ypad, muy_t, sy_t = _prep_t(pred_t, target, (muy, sy))
-    out = photo_loss_pallas(xpad, ypad, muy_t, sy_t, ssim_weight)
+    out = photo_loss_pallas(xpad, ypad, muy_t, sy_t, ssim_weight,
+                            cn=target.shape[-1])
     N, H = out.shape[0], out.shape[1]
     return out.reshape(N, H, -1), (xpad, ypad, target, muy, sy)
 
@@ -122,7 +141,9 @@ def _bwd_t(ssim_weight, residuals, g):
     N, Hp, T, C, L = xpad.shape
     gpad = jnp.pad(g.reshape(N, Hp - 4, T, L),
                    ((0, 0), (1, 1), (0, 0), (0, 0)))
-    dx = photo_loss_bwd_pallas(xpad, ypad, gpad, ssim_weight)
+    dx = photo_loss_bwd_pallas(xpad, ypad, gpad, ssim_weight,
+                               cn=target.shape[-1])
+    dx = dx[:, :, :, :target.shape[-1]]
     return (dx.astype(xpad.dtype), jnp.zeros_like(target),
             jnp.zeros_like(muy), jnp.zeros_like(sy))
 
