@@ -35,6 +35,7 @@ precomputed target stats of the S x F tiled loss.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,11 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 _C1 = 0.01 ** 2
 _C2 = 0.03 ** 2
+
+#: W-pool implementation: 'roll' = lane-rotate 3-tap stencil on the VPU
+#: (exact f32, ~L/3 x fewer FLOPs), 'mm' = dense banded [L, L] matmuls on
+#: the MXU (the original form, kept for A/B).
+POOL_IMPL = _os.environ.get("FSNET_PHOTO_POOL", "roll")
 
 
 def _mm(x2d, wmat):
@@ -82,10 +88,47 @@ def _wmats(L, transpose: bool):
     return MA, Le, Re, ML, MR
 
 
+def _wpool_roll(hs, T, L, transpose: bool = False):
+    """Lane-rotate form of :func:`_wpool`: the 3-tap W stencil as two
+    single-lane rotates + iota-masked boundary columns on the VPU. Exact
+    f32 (no MXU pass), and ~L/3 x fewer FLOPs than the dense [L, L]
+    banded matmul it replaces (measured: the matmul form at the exact-f32
+    precision the loss needs was a net step REGRESSION, BASELINE.md r3)."""
+    s = jnp.float32(1.0 / 9.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 3)
+    left = pltpu.roll(hs, shift=1, axis=3)    # [.., l] <- hs[.., l-1] (wrap)
+    right = pltpu.roll(hs, shift=L - 1, axis=3)  # [.., l] <- hs[.., l+1]
+    first = hs[..., 0:1]                       # [R, T, C, 1]
+    last = hs[..., L - 1:L]
+    if transpose:
+        # adjoint boundary: zero outside the image
+        edge_l = jnp.zeros_like(last[:, 0:1])
+        edge_r = jnp.zeros_like(first[:, 0:1])
+    else:
+        # reflect-101: global col -1 -> col 1, col W -> col W-2
+        edge_l = hs[:, 0:1, :, 1:2]
+        edge_r = hs[:, T - 1:T, :, L - 2:L - 1]
+    prev_last = jnp.concatenate([edge_l, last[:, :T - 1]], axis=1)
+    next_first = jnp.concatenate([first[:, 1:], edge_r], axis=1)
+    left = jnp.where(lane == 0, prev_last, left)
+    right = jnp.where(lane == L - 1, next_first, right)
+    out = (left + hs + right) * s
+    if transpose:
+        # P^T reflect extras: out[gcol 1] += x[gcol 0], out[W-2] += x[W-1]
+        tidx = jax.lax.broadcasted_iota(jnp.int32, hs.shape, 1)
+        out = out + jnp.where((tidx == 0) & (lane == 1), first[:, 0:1] * s,
+                              0.0)
+        out = out + jnp.where((tidx == T - 1) & (lane == L - 2),
+                              last[:, T - 1:T] * s, 0.0)
+    return out
+
+
 def _wpool(hs, T, L, transpose: bool = False):
     """W-direction pooled [R, T, C, L] f32 from H-summed ``hs`` (same
     shape). Forward: reflect-edge 3-tap mean along W (x 1/9 fold of the H
     sum). Transpose: the exact adjoint (cross-tile roles swapped)."""
+    if POOL_IMPL == "roll":
+        return _wpool_roll(hs, T, L, transpose)
     R, _, C, _ = hs.shape
     # cross-tile taps: ML^T = MR AND the neighbor direction flips too, so
     # the adjoint uses the SAME ML/MR placement as the forward
