@@ -48,6 +48,12 @@ import os as _os
 #: warp outputs entirely — the channel-reduced loss reshapes to [S, F, B,
 #: H, W] for free. DEFAULT OFF until the full-step TPU A/B adjudicates.
 TILED_LOSS = _os.environ.get("FSNET_TILED_LOSS", "0") != "0"
+
+#: Zero-relayout handoff of the depth-direct warp's tiled output into the
+#: fused photometric kernel (``reprojection_loss_fused_t``) vs handing the
+#: NHWC warp output to ``reprojection_loss_fused``. A/B toggle; the default
+#: follows the round-4 full-step adjudication (BASELINE.md).
+PHOTO_TILED = _os.environ.get("FSNET_PHOTO_TILED", "1") != "0"
 from ...utils.builder import build
 from ..blocks import adaptive_avg_pool2d, interpolate_bilinear
 
@@ -214,7 +220,7 @@ class MonoDepth2Decoder(nn.Module):
                 and not self._use_tiled_loss()
                 and warp_depth_supported(sources_flat.shape, self.warp_band)):
             arows = make_affine_rows(K, inv_K, Ts, S)
-            if (photo_loss_supported((S * F * B, H, W, C))
+            if (PHOTO_TILED and photo_loss_supported((S * F * B, H, W, C))
                     and not self.is_light_compensate):
                 # zero-relayout chain: tiled warp output feeds the fused
                 # photometric kernel directly; the NHWC view below exists

@@ -46,10 +46,22 @@ _LANE = 128
 _C1 = 0.01 ** 2
 _C2 = 0.03 ** 2
 
+#: Scoped-VMEM ceiling handed to Mosaic. The default 16 MB limit rejected
+#: the backward at the flagship KITTI shape (bf16[96, 196, 5, 4, 128]:
+#: 16.74 MB demanded — BENCH_r03 rc=1); v5e has 128 MB of VMEM and the
+#: photo kernels run alone in their XLA region, so a 64 MB scope is safe.
+_VMEM_LIMIT = 64 * 1024 * 1024
+#: Target working-set budget for :func:`_group` — below ``_VMEM_LIMIT``
+#: with headroom for Mosaic's own padding/alignment slop.
+_VMEM_BUDGET = 44 * 1024 * 1024
+
 #: W-pool implementation: 'roll' = lane-rotate 3-tap stencil on the VPU
 #: (exact f32, ~L/3 x fewer FLOPs), 'mm' = dense banded [L, L] matmuls on
 #: the MXU (the original form, kept for A/B).
 POOL_IMPL = _os.environ.get("FSNET_PHOTO_POOL", "roll")
+
+#: Row-group override for A/B tuning (0 = use the callers' default).
+GROUP_OVERRIDE = int(_os.environ.get("FSNET_PHOTO_GROUP", "0"))
 
 
 def _mm(x2d, wmat):
@@ -320,7 +332,7 @@ def photo_loss_pallas(xpad: jnp.ndarray, ypad: jnp.ndarray,
     N, Hp, T, C, L = xpad.shape
     Ho = Hp - 4
     B = ypad.shape[0]
-    G = _group(group, Ho, T, C, L, xpad.dtype.itemsize)
+    G = _group(group, Ho, T, C, L, xpad.dtype.itemsize, live_f32=22)
     kernel = functools.partial(_fwd_kernel, G=G, T=T, C=C, L=L, B=B,
                                sw=float(ssim_weight), Cn=float(cn or C))
     return pl.pallas_call(
@@ -350,7 +362,8 @@ def photo_loss_pallas(xpad: jnp.ndarray, ypad: jnp.ndarray,
         ),
         # Sequential grid required by the double-buffered scratch.
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(xpad, ypad, muy, sy)
 
 
@@ -363,7 +376,7 @@ def photo_loss_bwd_pallas(xpad: jnp.ndarray, ypad: jnp.ndarray,
     gpad = jnp.stack([gpad, jnp.zeros_like(gpad)], axis=3)  # 2-sublane dim
     Ho = Hp - 4
     B = ypad.shape[0]
-    G = _group(group, Ho, T, C, L, xpad.dtype.itemsize)
+    G = _group(group, Ho, T, C, L, xpad.dtype.itemsize, live_f32=48)
     kernel = functools.partial(_bwd_kernel, G=G, T=T, C=C, L=L, B=B,
                                sw=float(ssim_weight), Cn=float(cn or C))
     return pl.pallas_call(
@@ -386,18 +399,28 @@ def photo_loss_bwd_pallas(xpad: jnp.ndarray, ypad: jnp.ndarray,
             ],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(xpad, ypad, gpad)
 
 
 def _group(group: int, Ho: int, T: int, C: int, L: int,
-           itemsize: int) -> int:
-    """Rows per grid block: divides Ho, keeps the (up to 3) double-buffered
-    scratch windows within a VMEM budget, and >= 2 for the H-edge adjoint's
-    static row indices."""
-    budget = 6 * 1024 * 1024
-    while group > 2 and (Ho % group != 0
-                         or 3 * 2 * (group + 4) * T * C * L * itemsize
-                         > budget):
+           itemsize: int, live_f32: int = 48) -> int:
+    """Rows per grid block: divides Ho, >= 2 for the H-edge adjoint's
+    static row indices, and sized so the whole scoped-VMEM working set fits
+    ``_VMEM_BUDGET``: the (up to 3) double-buffered scratch windows PLUS
+    ``live_f32`` live f32 ``[G+4, T, C, L]`` kernel-body temporaries —
+    Mosaic's stack, NOT just scratch. The round-3 OOM (BENCH_r03 rc=1,
+    16.74 MB at G=32 / T=5 / C=4) measured ~44 live buffers in the
+    backward; 48 (bwd) / 22 (fwd) are those measurements + slop. The f32
+    X/Y casts of the scratch windows are counted inside ``live_f32``."""
+    def _need(g: int) -> int:
+        scratch = 3 * 2 * (g + 4) * T * C * L * itemsize
+        stack = live_f32 * (g + 4) * T * C * L * 4
+        return scratch + stack
+
+    if GROUP_OVERRIDE:
+        group = GROUP_OVERRIDE
+    while group > 2 and (Ho % group != 0 or _need(group) > _VMEM_BUDGET):
         group //= 2
     return max(group, 2)
