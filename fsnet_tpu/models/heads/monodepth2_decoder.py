@@ -51,8 +51,11 @@ TILED_LOSS = _os.environ.get("FSNET_TILED_LOSS", "0") != "0"
 
 #: Zero-relayout handoff of the depth-direct warp's tiled output into the
 #: fused photometric kernel (``reprojection_loss_fused_t``) vs handing the
-#: NHWC warp output to ``reprojection_loss_fused``. A/B toggle; the default
-#: follows the round-4 full-step adjudication (BASELINE.md).
+#: NHWC warp output to ``reprojection_loss_fused``. Only relevant when
+#: FSNET_PHOTO_KERNEL=1; the round-4 A/B measured the two within noise
+#: (237.3 vs 236.9 imgs/s — the NHWC relayout XLA inserts is essentially
+#: free, it fuses into adjacent elementwise work), so the tiled handoff
+#: stays default for the kernel-on configuration.
 PHOTO_TILED = _os.environ.get("FSNET_PHOTO_TILED", "1") != "0"
 from ...utils.builder import build
 from ..blocks import adaptive_avg_pool2d, interpolate_bilinear

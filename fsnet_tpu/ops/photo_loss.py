@@ -21,8 +21,17 @@ from .pallas.photo_kernel import photo_loss_pallas, photo_loss_bwd_pallas
 
 _LANE = 128
 
-#: A/B toggle for the fused photometric kernel (XLA route stays available)
-PHOTO_KERNEL = _os.environ.get("FSNET_PHOTO_KERNEL", "1") != "0"
+#: Fused photometric kernel dispatch. DEFAULT OFF (round-4 adjudication):
+#: the isolated A/B at the flagship shape (scripts/tpu_photo_ab.py, real
+#: v5e, chained-dispatch harness) measured the kernel at ~4.3 ms fwd /
+#: ~10.9 ms fwd+bwd vs XLA's banded-matmul pooling route at ~2.3 / ~3.2 ms
+#: — the VPU roll-stencil pools on [R, T, C=4, L] f32 operands waste half
+#: of every vreg's sublanes and lose to the MXU pooling they replace, in
+#: BOTH directions, at every row-group size (32/16/8 within 1%). Full-step
+#: confirmation: 237 imgs/s fused vs 275 XLA (bench.py, same day).
+#: Kept behind FSNET_PHOTO_KERNEL=1 for A/B and for shapes where it may
+#: win (see BASELINE.md round-4 section).
+PHOTO_KERNEL = _os.environ.get("FSNET_PHOTO_KERNEL", "0") == "1"
 
 
 def photo_loss_supported(pred_shape) -> bool:

@@ -122,18 +122,22 @@ RECIPES = {
 
 
 def _assert_kernels_dispatch(name, B, H, W):
-    """The gate is meaningless if the kernels silently fell back to XLA."""
-    from fsnet_tpu.ops.photo_loss import photo_loss_supported
+    """The gate is meaningless if the kernels silently fell back to XLA:
+    assert the SHIPPED default kernel routes dispatch at this shape (the
+    warp/prep kernel families; the fused photometric kernel is default-off
+    — a measured negative result, BASELINE.md round 4)."""
+    from fsnet_tpu.ops.warp_depth import warp_depth_supported
 
-    S, F = 4, 2
-    assert photo_loss_supported((S * F * B, H, W, 3)), (
-        f"{name}: fused photometric kernel does not dispatch at "
-        f"{(S * F * B, H, W, 3)} — gate would not exercise it")
+    F = 2
     if name == "fisheye":
         from fsnet_tpu.ops.warp_mei import warp_mei_supported
 
         assert warp_mei_supported((F * B, H, W, 3), 16), (
             f"{name}: norm-direct Mei warp does not dispatch")
+    else:
+        assert warp_depth_supported((F * B, H, W, 3), 4), (
+            f"{name}: depth-direct warp chain does not dispatch at "
+            f"{(F * B, H, W, 3)} — gate would not exercise it")
 
 
 def run_one(name):
