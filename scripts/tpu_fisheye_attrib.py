@@ -1,4 +1,4 @@
-"""Fisheye step attribution: where do the 106.8 ms go? (round-4 VERDICT
+"""Fisheye step attribution: where do the ~107 ms go? (round-4 VERDICT
 item 4 — get the fisheye recipe from ~150 to >= 200 imgs/s or prove the
 bound).
 
@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 import tpu_fisheye_bench as fb
+from fsnet_tpu.models import MonoDepthWPose
 from fsnet_tpu.runtime.optim import build_optimizer
 from fsnet_tpu.runtime.state import init_state, make_train_step
 
@@ -30,8 +31,28 @@ tx, _ = build_optimizer(dict(name="adam", lr=1e-4), None, steps_per_epoch=100)
 rng = jax.random.PRNGKey(1)
 
 
-def timed(tag, model):
-    state = init_state(model, batch, tx, jax.random.PRNGKey(0))
+def model(**head_overrides):
+    head_cfg = dict(
+        name="fsnet_tpu.models.heads.fisheye_decoder.FishEyeDecoder",
+        scales=(0, 1, 2, 3), height=fb.H, width=fb.W, min_depth=0.1,
+        max_depth=80.0, is_log_image=False, overlapped_mask=True,
+        depth_decoder_cfg=dict(
+            name=("fsnet_tpu.models.heads.depth_decoder."
+                  "MultiChannelDepthDecoder"),
+            num_output_channels=16, scales=(0, 1, 2, 3),
+            min_depth=0.1, max_depth=80.0))
+    head_cfg.update(head_overrides)
+    return MonoDepthWPose(
+        depth_backbone_cfg=dict(
+            name="fsnet_tpu.models.backbones.resnet.resnet", depth=18,
+            out_indices=(-1, 0, 1, 2, 3), norm_eval=False),
+        head_cfg=head_cfg,
+        train_cfg=dict(frame_ids=(0, 1, -1)),
+        test_cfg=dict())
+
+
+def timed(tag, m):
+    state = init_state(m, batch, tx, jax.random.PRNGKey(0))
     step = make_train_step(donate=False, compute_dtype=jnp.bfloat16)
     state, metrics, _ = step(state, batch, rng)
     float(metrics["loss"])  # sync incl. compile
@@ -46,11 +67,8 @@ def timed(tag, model):
     return best
 
 
-t_full = timed("full step", fb._model())
-
-m = fb._model()
-m.head.overlapped_mask = False
-t_nomask = timed("overlapped_mask=False", m)
+t_full = timed("full step", model())
+t_nomask = timed("overlapped_mask=False", model(overlapped_mask=False))
 
 # identity warps: patch the decoder's _warp_all to broadcast sources
 import fsnet_tpu.models.heads.fisheye_decoder as fd
@@ -77,9 +95,7 @@ def _identity_warp_all(self, input_dict, output_dict):
 
 
 fd.FishEyeDecoder._warp_all = _identity_warp_all
-m = fb._model()
-m.head.overlapped_mask = False
-t_nowarp = timed("warps -> identity", m)
+t_nowarp = timed("warps -> identity", model(overlapped_mask=False))
 fd.FishEyeDecoder._warp_all = orig_warp_all
 
 # loss -> mean(depth): model-only cost
@@ -96,7 +112,7 @@ def tiny_loss(self, output_dict, input_dict, noise_rng=None):
 
 
 md2.MonoDepth2Decoder.loss = tiny_loss
-t_model = timed("loss -> mean(depth)", fb._model())
+t_model = timed("loss -> mean(depth)", model())
 md2.MonoDepth2Decoder.loss = orig_loss
 
 print(f"\nattribution (bs{fb.B} @ {fb.H}x{fb.W}):")

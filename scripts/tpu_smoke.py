@@ -38,14 +38,19 @@ REL_TOL = 2e-2
 def _toggle_kernels(on: bool) -> None:
     """Flip every Pallas dispatch predicate in-process. Each jitted step is
     built fresh after a flip (new make_train_step => new trace), so the
-    toggles are honored — never flip between calls of ONE jitted fn."""
+    toggles are honored — never flip between calls of ONE jitted fn.
+
+    ``on=True`` restores the SHIPPED defaults — which the gate exists to
+    certify — not all-kernels-on: the fused photometric kernel defaults OFF
+    (measured negative result, BASELINE.md round 4; its 64 MB-scope backward
+    is also a >28 min Mosaic compile at the fisheye shape)."""
     import fsnet_tpu.ops.fast_conv as fc
     import fsnet_tpu.ops.photo_loss as ploss
     import fsnet_tpu.ops.warp_depth as wd
     import fsnet_tpu.ops.warp_fast as wf
     import fsnet_tpu.ops.warp_mei as wm
 
-    ploss.PHOTO_KERNEL = on
+    ploss.PHOTO_KERNEL = False  # shipped default (FSNET_PHOTO_KERNEL=0)
     wd.WARP_DEPTH = on
     wm.WARP_MEI = on
     wf.DMA_GATHER = on
