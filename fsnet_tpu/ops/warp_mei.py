@@ -96,11 +96,23 @@ def _fwd_impl(image, mask, norm, rays_cf, mrows, S, F, band, with_mask,
         # nearest == bilinear with binary fractions; mask values in {0, 1}
         # gathered with exact {0.0, 1.0} weights make the == 1.0 test exact
         fpack_r = (fpack >= 0.5).astype(jnp.float32)
-        mask_tiled = wk._tile_img_rows(
-            mask[..., None].astype(jnp.float32))
-        mout, _, _ = wk.warp_rows_pallas_dma_fused(
-            mask_tiled, ymin, ws, iword, fpack_r, band, 1, group=8,
-            packed=False, tiled_vjp=False, border=True)
+        if packed:
+            # {0, 1} is exact in bf16, so the mask rides the same row-pair
+            # packing as the image: half the gather rows (the mask sweep is
+            # VPU-issue-bound like the image sweep — round-4 fisheye
+            # attribution measured it at 14.8 ms of the 109 ms step at
+            # band=16 unpacked f32)
+            mask_tiled = wk._tile_img_rows(
+                wk.pack_rows_bf16(mask[..., None].astype(jnp.bfloat16)))
+            mout, _, _ = wk.warp_rows_pallas_dma_fused(
+                mask_tiled, ymin // 2, ws, iword, fpack_r, band // 2, 1,
+                group=8, packed=True, tiled_vjp=False, border=True)
+        else:
+            mask_tiled = wk._tile_img_rows(
+                mask[..., None].astype(jnp.float32))
+            mout, _, _ = wk.warp_rows_pallas_dma_fused(
+                mask_tiled, ymin, ws, iword, fpack_r, band, 1, group=8,
+                packed=False, tiled_vjp=False, border=True)
         overlap = (mout[..., 0] == 1.0) & ((iword >> 28) & 1).astype(bool)
     return out.astype(image.dtype), overlap, va.astype(image.dtype), \
         vb.astype(image.dtype)

@@ -83,12 +83,28 @@ def main():
         row_min = np.minimum(row_min, H - 2) - (row_min.astype(int) & 1)
         spread = (np.ceil(y_src) - row_min)[valid]
 
+        # per-TILE spread: if the kernels carried a band start per 128-lane
+        # output tile instead of per row, the band would only need to cover
+        # the within-tile spread (round-4 fisheye attribution: the band-16
+        # sweeps are VPU-issue-bound, and issue scales with band rows)
+        L = 128
+        Tn = W // L
+        y0_t = y0.reshape(H, Tn, L)
+        ymax_t = np.ceil(y_src).reshape(H, Tn, L)
+        vt = valid.reshape(H, Tn, L)
+        tile_min = np.where(vt, y0_t, np.inf).min(axis=2, keepdims=True)
+        tile_min = np.where(np.isfinite(tile_min), tile_min, 0.0)
+        tile_min = np.minimum(tile_min, H - 2) - (tile_min.astype(int) & 1)
+        t_spread = np.where(vt, ymax_t - tile_min, 0.0)[vt]
+
         exact = grid_sample_exact(img, grid, padding_mode="border",
                                   align_corners=True)
         line = [f"rot {rot_deg:.1f}deg tx {tx:.1f}m: "
                 f"row-spread p50/p95/max "
                 f"{np.percentile(spread, 50):.0f}/"
-                f"{np.percentile(spread, 95):.0f}/{spread.max():.0f}"]
+                f"{np.percentile(spread, 95):.0f}/{spread.max():.0f}",
+                f"tile-spread {np.percentile(t_spread, 50):.0f}/"
+                f"{np.percentile(t_spread, 95):.0f}/{t_spread.max():.0f}"]
         for band in (4, 8, 12, 16, 24):
             banded = grid_sample_band(img, grid, band=band)
             d = np.asarray(jnp.abs(banded - exact))[0][valid]
