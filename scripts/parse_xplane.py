@@ -1,7 +1,11 @@
 """Summarize a jax.profiler TPU device trace (*.xplane.pb): top ops by
 self-time, grouped by fusion/op name. Usage:
 
-    python scripts/parse_xplane.py /tmp/trace_dir [top_n]
+    python scripts/parse_xplane.py /tmp/trace_dir [top_n] [line_substr]
+
+``line_substr`` picks the trace line to break down (default: the busiest —
+usually 'Async XLA Ops', whose async copy durations overlap real compute
+and overstate; pass 'XLA Ops' for the synchronous op timeline).
 
 Finds the newest .xplane.pb under the directory. CPU-side tool (run with
 JAX_PLATFORMS=cpu env pins if jax gets imported — it doesn't here).
@@ -49,7 +53,12 @@ def main():
         # pick the busiest line (usually 'XLA Ops' / steps)
         if not total_line:
             continue
-        busiest = max(total_line, key=total_line.get)
+        if len(sys.argv) > 3:
+            want = [ln for ln in total_line if sys.argv[3] in ln]
+            busiest = min(want, key=len) if want else \
+                max(total_line, key=total_line.get)
+        else:
+            busiest = max(total_line, key=total_line.get)
         rows = [(v, k[1], cnt[k]) for k, v in agg.items() if k[0] == busiest]
         rows.sort(reverse=True)
         print(f"\n  top {top_n} ops on line '{busiest}':")
