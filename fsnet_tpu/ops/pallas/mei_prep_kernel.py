@@ -82,7 +82,7 @@ def _mei_pix(m_ref, n, rx, ry, rz):
 
 
 def _mei_prep_kernel(norm_ref, rays_ref, m_ref, iword_ref, fpack_ref,
-                     ymin_ref, ws_ref, *, G, T, L, H, W, band):
+                     ymin_ref, ws_ref, *, G, T, L, H, W, band, tile_ymin):
     """Grid (N, H // G); emits raw (even-rounded, image-row-unit) ymin —
     the wrapper scales per consumer pass (packed image vs f32 mask)."""
     del G
@@ -92,18 +92,22 @@ def _mei_prep_kernel(norm_ref, rays_ref, m_ref, iword_ref, fpack_ref,
     rz = rays_ref[0, 2].astype(jnp.float32)
     x, y, _ = _mei_pix(m_ref, n, rx, ry, rz)
     _pack_xy(x, y, iword_ref, fpack_ref, ymin_ref, ws_ref, T=T, L=L, H=H,
-             W=W, band=band, row_div=1, row_mul=1)
+             W=W, band=band, row_div=1, row_mul=1, tile_ymin=tile_ymin)
 
 
 def mei_prep_pallas(norm: jnp.ndarray, rays_cf: jnp.ndarray,
                     mrows: jnp.ndarray, S: int, F: int, band: int,
-                    group: int = 8):
+                    group: int = 8, tile_ymin: bool = False):
     """``norm`` [S*B, H, W] (any float dtype), ``rays_cf`` [B, 3, H, W] f32
     (channel-leading ray field), ``mrows`` [N, 24] f32 with N = S*F*B in
     (s, f, b) order -> (iword [N, H, W] s32, fpack [N, 2, H, W] f32,
     ymin [N, H] s32 raw image rows, ws [N, H, T] s32); formats as
     :func:`prep_kernel.warp_prep_pallas`, bit 28 of iword the analytic
-    in-bounds mask."""
+    in-bounds mask. Under ``tile_ymin`` the band anchor is per (row,
+    output lane tile) — ymin [N, H, T] — for the per-tile windowed DMA
+    consumer (``warp_kernel`` tile mode): Mei reprojections bend rows
+    vertically, but the 128-lane tile-local spread is 2-5 rows
+    (``scripts/fisheye_band_probe.py``), so half the band covers more."""
     SB, H, W = norm.shape
     N = mrows.shape[0]
     B = N // (S * F)
@@ -114,7 +118,8 @@ def mei_prep_pallas(norm: jnp.ndarray, rays_cf: jnp.ndarray,
     while H % G != 0:
         G //= 2
     kernel = functools.partial(_mei_prep_kernel, G=G, T=T, L=L, H=H, W=W,
-                               band=band)
+                               band=band, tile_ymin=tile_ymin)
+    YT = T if tile_ymin else 1
 
     def ni(n_, h):
         # n = (s * F + f) * B + b -> norm row s * B + b
@@ -137,7 +142,7 @@ def mei_prep_pallas(norm: jnp.ndarray, rays_cf: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, G, W), lambda n_, h: (n_, 0, h, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, 1), lambda n_, h: (n_, h, 0),
+            pl.BlockSpec((1, G, YT), lambda n_, h: (n_, h, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, T), lambda n_, h: (n_, h, 0),
                          memory_space=pltpu.VMEM),
@@ -148,12 +153,12 @@ def mei_prep_pallas(norm: jnp.ndarray, rays_cf: jnp.ndarray,
         out_shape=[
             jax.ShapeDtypeStruct((N, H, W), jnp.int32),
             jax.ShapeDtypeStruct((N, 2, H, W), jnp.float32),
-            jax.ShapeDtypeStruct((N, H, 1), jnp.int32),
+            jax.ShapeDtypeStruct((N, H, YT), jnp.int32),
             jax.ShapeDtypeStruct((N, H, T), jnp.int32),
         ],
         grid_spec=grid_spec,
     )(norm, rays_cf.astype(jnp.float32), mrows.reshape(N, 1, 24))
-    return iword, fpack, ymin.reshape(N, H), ws
+    return iword, fpack, (ymin if tile_ymin else ymin.reshape(N, H)), ws
 
 
 def _mei_prep_bwd_kernel(norm_ref, rays_ref, *rest, G, H, W, F):

@@ -82,13 +82,20 @@ def _iotas(h, G, W):
 
 
 def _pack_xy(x, y, iword_ref, fpack_ref, ymin_ref, ws_ref,
-             *, T, L, H, W, band, row_div, row_mul):
+             *, T, L, H, W, band, row_div, row_mul, tile_ymin=False):
     """Pack projected pixel coords [G, W] into the band-warp operands
     (shared by the pinhole and Mei prep kernels).
 
     ``row_div``/``row_mul``: ymin -> DMA sublane rows
     ((ymin // row_div) * row_mul; row_div=2 on the bf16 row-packed image
-    path, row_mul=C; 1/1 emits raw even-rounded image rows)."""
+    path, row_mul=C; 1/1 emits raw even-rounded image rows).
+
+    ``tile_ymin``: emit a band start per (row, OUTPUT TILE) [G, T] instead
+    of per row [G, 1] — the Mei reprojection bends rows vertically (p95
+    row spread 10-18 image rows at KITTI-360 motion) but each 128-lane
+    tile's local spread is only 2-5 rows (``scripts/fisheye_band_probe.py``),
+    so a per-tile anchor covers MORE samples with HALF the band. Consumed
+    by the windowed per-tile DMA kernels (``warp_kernel`` ``tile_ymin``)."""
     G = x.shape[0]
     ov = ((x >= -0.5) & (x < W - 0.5) & (y >= -0.5) & (y < H - 0.5))
     xb = jnp.clip(x, 0.0, float(W - 1))
@@ -102,14 +109,30 @@ def _pack_xy(x, y, iword_ref, fpack_ref, ymin_ref, ws_ref,
     x1c = jnp.minimum(x0c + 1, W - 1)
     y1c = jnp.minimum(y0c + 1, H - 1)
 
-    # per-row band start: min over the whole row, clipped, rounded even
-    # (bf16 row-pair packing), exactly _indices_and_weights' ymin
-    ymin = jnp.min(y0f, axis=1, keepdims=True).astype(jnp.int32)  # [G, 1]
-    ymin = jnp.clip(ymin, 0, max(H - band, 0))
-    ymin = ymin - (ymin & 1)
-    ymin_ref[0] = (ymin // row_div) * row_mul
-    d0 = jnp.clip(y0c - ymin, 0, band - 1)
-    d1 = jnp.clip(y1c - ymin, 0, band - 1)
+    if tile_ymin:
+        # per-(row, tile) band start: min over each 128-lane tile
+        cols = []
+        for u in range(T):
+            lo = jnp.min(y0f[:, u * L:(u + 1) * L], axis=1,
+                         keepdims=True).astype(jnp.int32)
+            cols.append(lo)                                    # [G, 1]
+        ymin = cols[0] if T == 1 else jnp.concatenate(cols, axis=1)
+        ymin = jnp.clip(ymin, 0, max(H - band, 0))
+        ymin = ymin - (ymin & 1)                               # [G, T]
+        ymin_ref[0] = (ymin // row_div) * row_mul
+        yminx = (ymin[:, :, None] if T > 1 else ymin[:, None, :])
+        yminx = jnp.broadcast_to(yminx, (G, T, L)).reshape(G, W)
+        d0 = jnp.clip(y0c - yminx, 0, band - 1)
+        d1 = jnp.clip(y1c - yminx, 0, band - 1)
+    else:
+        # per-row band start: min over the whole row, clipped, rounded even
+        # (bf16 row-pair packing), exactly _indices_and_weights' ymin
+        ymin = jnp.min(y0f, axis=1, keepdims=True).astype(jnp.int32)
+        ymin = jnp.clip(ymin, 0, max(H - band, 0))
+        ymin = ymin - (ymin & 1)                               # [G, 1]
+        ymin_ref[0] = (ymin // row_div) * row_mul
+        d0 = jnp.clip(y0c - ymin, 0, band - 1)
+        d1 = jnp.clip(y1c - ymin, 0, band - 1)
 
     # dynamic window anchor per (row, output tile): _make_ipack_packed
     kw = min(_WINDOW, T)

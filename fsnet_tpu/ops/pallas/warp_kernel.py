@@ -460,11 +460,38 @@ def _kernel_fused(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, va_ref,
 def _kernel_dma_fused(ymin_ref, ws_ref, ipack_ref, fpack_ref, img_ref,
                       out_ref, va_ref, vb_ref, scr, sems, *, G, T, band, C,
                       L, packed, NI, Ho, fold=False, border=False,
-                      stack=False, packed_idx=False):
+                      stack=False, packed_idx=False, tile_ymin=False):
     """Fused fwd+vjp kernel with the band row-gather as double-buffered DMA
-    (see :func:`_kernel_dma`)."""
-    KLF = scr.shape[3]
+    (see :func:`_kernel_dma`). Under ``tile_ymin`` the scratch is
+    [2, G, T, kw, KL, L] and each output tile's kw-tile window is DMA'd at
+    its own vertical anchor (``_band_dma_tile``); the window-relative
+    x0t/x1t fields index the per-tile scratch directly."""
+    KLF = scr.shape[-2]
     kw = min(_WINDOW, T)
+    if tile_ymin:
+        def start_row(slot_, n_, h_, g_):
+            for u_ in range(T):
+                _band_dma_tile(ymin_ref, img_ref, scr, sems, slot_,
+                               n_, h_, g_, u_, G=G, NI=NI, T=T,
+                               kw=kw).start()
+        slot, n, h = _dma_prologue(ymin_ref, img_ref, scr, sems, G=G, NI=NI,
+                                   start_row=start_row)
+        for g in range(G):
+            for u in range(T):
+                _band_dma_tile(ymin_ref, img_ref, scr, sems, slot,
+                               n, h, g, u, G=G, NI=NI, T=T,
+                               kw=kw).wait()
+                win = (scr[slot, g, u].reshape(kw * KLF, L)
+                       if stack else None)
+                o, va, vb = _fused_tile(
+                    ipack_ref, fpack_ref,
+                    lambda t, u=u: scr[slot, g, u, t], g, u,
+                    T=T, band=band, C=C, L=L, packed=packed, fold=fold,
+                    border=border, win=win, KLF=KLF, packed_idx=packed_idx)
+                out_ref[0, g, u] = o.astype(out_ref.dtype)
+                va_ref[0, g, u] = va.astype(va_ref.dtype)
+                vb_ref[0, g, u] = vb.astype(vb_ref.dtype)
+        return
     slot, n, h = _dma_prologue(ymin_ref, img_ref, scr, sems, G=G, NI=NI)
     for g in range(G):
         _band_dma(ymin_ref, img_ref, scr, sems, slot, n, h, g, G, NI).wait()
@@ -479,6 +506,15 @@ def _kernel_dma_fused(ymin_ref, ws_ref, ipack_ref, fpack_ref, img_ref,
             out_ref[0, g, u] = o.astype(out_ref.dtype)
             va_ref[0, g, u] = va.astype(va_ref.dtype)
             vb_ref[0, g, u] = vb.astype(vb_ref.dtype)
+
+
+def _kernel_dma_fused_tile(yw_ref, ipack_ref, fpack_ref, img_ref, out_ref,
+                           va_ref, vb_ref, scr, sems, **kwargs):
+    """Tile-ymin signature of :func:`_kernel_dma_fused`: ONE packed
+    scalar-prefetch operand (``ymin | (ws << 16)``, see
+    :func:`_band_dma_tile`) instead of (ymin, ws)."""
+    _kernel_dma_fused(yw_ref, None, ipack_ref, fpack_ref, img_ref, out_ref,
+                      va_ref, vb_ref, scr, sems, tile_ymin=True, **kwargs)
 
 
 def _kernel(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, *, G, T, band,
@@ -576,10 +612,38 @@ def _band_dma(ymin_ref, img_ref, scr, sems, slot, n, h, g, G, NI):
     )
 
 
-def _dma_prologue(ymin_ref, img_ref, scr, sems, *, G, NI):
+def _band_dma_tile(yw_ref, img_ref, scr, sems, slot, n, h, g, u,
+                   *, G, NI, T, kw):
+    """Per-(row, OUTPUT tile) band DMA (tile-ymin mode): copies the
+    [kw, KL, L] window of source tiles [ws_u, ws_u + kw) anchored at the
+    per-tile sublane row ``ymin[n, row, u]`` into scratch slot
+    ``(slot, g, u)``. Each output lane tile gets its own vertical anchor,
+    so strongly row-bending reprojections (Mei fisheye) run half the band
+    of the per-row anchor at better coverage
+    (``scripts/fisheye_band_probe.py``).
+
+    ``yw_ref`` [B, Ho*T] is the PACKED scalar-prefetch word
+    ``ymin | (ws << 16)`` — two separate [B, Ho, T] s32 prefetch operands
+    (576 KB each at the fisheye recipe) overflow the core's SMEM budget
+    (observed as a scoped-SMEM alloc failure); the tile-mode compute never
+    needs ``ws`` (scratch windows are window-relative), so one packed
+    operand replaces both."""
+    KL = scr.shape[4]
+    yw = yw_ref[n, (h * G + g) * T + u]
+    return pltpu.make_async_copy(
+        img_ref.at[jax.lax.rem(n, NI), pl.ds(yw >> 16, kw),
+                   pl.ds(yw & 0xFFFF, KL), :],
+        scr.at[slot, g, u],
+        sems.at[slot, g, u],
+    )
+
+
+def _dma_prologue(ymin_ref, img_ref, scr, sems, *, G, NI, start_row=None):
     """Double-buffered band fetch shared by the fwd/bwd DMA kernels: warm up
     block 0, start block blk+1 into the other slot, return this block's slot
-    (whose per-row DMAs the caller waits just before using each row)."""
+    (whose per-row DMAs the caller waits just before using each row).
+    ``start_row(slot_, n_, h_, g)`` overrides the per-row DMA start (the
+    tile-ymin kernels start T windowed copies per row)."""
     n = pl.program_id(0)
     h = pl.program_id(1)
     nh = pl.num_programs(1)
@@ -589,8 +653,11 @@ def _dma_prologue(ymin_ref, img_ref, scr, sems, *, G, NI):
 
     def start_block(slot_, n_, h_):
         for g in range(G):
-            _band_dma(ymin_ref, img_ref, scr, sems, slot_, n_, h_, g,
-                      G, NI).start()
+            if start_row is not None:
+                start_row(slot_, n_, h_, g)
+            else:
+                _band_dma(ymin_ref, img_ref, scr, sems, slot_, n_, h_, g,
+                          G, NI).start()
 
     @pl.when(blk == 0)
     def _():
@@ -909,27 +976,39 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
                                packed: bool = False, tiled_vjp: bool = False,
                                border: bool = False):
     """Fused fwd+vjp with the band row-gather as double-buffered DMA;
-    returns (out, va, vb) each [B, Ho, W, C]."""
+    returns (out, va, vb) each [B, Ho, W, C].
+
+    ``ymin_rows`` [B, Ho] selects the per-row band anchor; [B, Ho, T]
+    (tile-ymin mode, from a ``tile_ymin`` prep kernel) anchors each output
+    lane tile's kw-tile DMA window independently — kw x the scratch and
+    DMA traffic per band row, but typically used with HALF the band
+    (strongly row-bending Mei reprojections: net ~1.5x bytes for ~0.5x
+    the VPU-issue-bound gather sweep, which dominates)."""
     NI, T, HC, L = img_tiled.shape
-    B, Ho = ymin_rows.shape
+    tile_ymin = ymin_rows.ndim == 3
+    B, Ho = ymin_rows.shape[:2]
     assert B % NI == 0, (B, NI)
     KL = band * C
     img_tiled, KLF, stack = _stack_pad(img_tiled, KL)
-    G = _dma_group(group, Ho, T, KLF, L, img_tiled.dtype.itemsize)
+    kw = min(_WINDOW, T)
+    G = _dma_group(group, Ho, T, KLF * (kw if tile_ymin else 1), L,
+                   img_tiled.dtype.itemsize)
 
     ipack_tiled, fpack_tiled, ispec, fspec = _pack_specs(
         ipack, fpack8, img_tiled.dtype, B, Ho, T, L, G)
     packed_idx = ipack_tiled.ndim == 4
     F = 2 if packed_idx else fpack_tiled.shape[3]
 
-    kernel = functools.partial(_kernel_dma_fused, G=G, T=T, band=band, C=C,
-                               L=L, packed=packed, NI=NI, Ho=Ho,
-                               fold=not packed_idx and F > 8,
-                               border=border or (not packed_idx and F == 4),
-                               stack=stack, packed_idx=packed_idx)
+    kernel = functools.partial(
+        _kernel_dma_fused_tile if tile_ymin else _kernel_dma_fused,
+        G=G, T=T, band=band, C=C,
+        L=L, packed=packed, NI=NI, Ho=Ho,
+        fold=not packed_idx and F > 8,
+        border=border or (not packed_idx and F == 4),
+        stack=stack, packed_idx=packed_idx)
     odt = jnp.bfloat16 if (packed and BF16_OUT) else img_tiled.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1 if tile_ymin else 2,
         grid=(B, Ho // G),
         in_specs=[
             ispec,
@@ -940,8 +1019,9 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
                                 lambda n, h, *_: (n, h, 0, 0, 0),
                                 memory_space=pltpu.VMEM)] * 3,
         scratch_shapes=[
-            pltpu.VMEM((2, G, T, KLF, L), img_tiled.dtype),
-            pltpu.SemaphoreType.DMA((2, G)),
+            pltpu.VMEM((2, G, T, kw, KLF, L) if tile_ymin
+                       else (2, G, T, KLF, L), img_tiled.dtype),
+            pltpu.SemaphoreType.DMA((2, G, T) if tile_ymin else (2, G)),
         ],
     )
     outs = pl.pallas_call(
@@ -951,8 +1031,15 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
         # Sequential grid required by the double-buffered scratch (see fwd).
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
-    )(ymin_rows.astype(jnp.int32), ws.astype(jnp.int32).reshape(-1),
-      ipack_tiled, fpack_tiled, img_tiled)
+    )
+    if tile_ymin:
+        yw = (ymin_rows.astype(jnp.int32)
+              | (ws.astype(jnp.int32) << 16)).reshape(B, -1)
+        outs = outs(yw, ipack_tiled, fpack_tiled, img_tiled)
+    else:
+        outs = outs(ymin_rows.astype(jnp.int32),
+                    ws.astype(jnp.int32).reshape(-1),
+                    ipack_tiled, fpack_tiled, img_tiled)
     return _split_fused_out(outs, C, tiled_vjp=tiled_vjp)
 
 

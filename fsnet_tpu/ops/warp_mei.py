@@ -35,6 +35,19 @@ from .pallas.mei_prep_kernel import mei_prep_pallas, mei_prep_bwd_pallas
 #: A/B toggle for the norm-direct fisheye path (grid route stays available)
 WARP_MEI = _os.environ.get("FSNET_WARP_MEI", "1") != "0"
 
+#: Per-(row, output lane tile) band anchors: the Mei reprojection bends
+#: rows vertically (p95 row spread 10-18 image rows at KITTI-360 motion)
+#: but each 128-lane tile's local spread is only 2-5 rows
+#: (``scripts/fisheye_band_probe.py``), so anchoring each tile's DMA window
+#: independently covers MORE samples with HALF the band — the head's
+#: configured ``warp_band`` is halved on this path. **Measured negative
+#: result, default OFF** (BASELINE.md round 4): 141.2 vs 152.8 imgs/s at
+#: the fisheye recipe — the halved VPU sweep does not pay for 3x the DMA
+#: descriptors per band row (the warp passes issue one DMA per output row
+#: and are descriptor-rate-bound, not sweep-bound, at this shape).
+#: ``FSNET_TILE_YMIN=1`` re-enables for A/B.
+TILE_YMIN = _os.environ.get("FSNET_TILE_YMIN", "0") == "1"
+
 
 def warp_mei_supported(image_shape, band: int) -> bool:
     """True when the norm-direct Pallas fisheye path applies (same kernel
@@ -75,9 +88,16 @@ def _fwd_impl(image, mask, norm, rays_cf, mrows, S, F, band, with_mask,
     """-> (out [N, H, W, C] NHWC, or [N, H, T, C, L] kernel-tiled when
     ``tiled_out``; overlap bool [N, H, W] or None; va, vb)."""
     C = image.shape[3]
+    # single-lane-tile widths (W <= 128): the per-tile anchor degenerates
+    # to the per-row anchor, so halving the band would only lose coverage
+    tile = TILE_YMIN and image.shape[2] > 128
+    if tile:
+        # per-tile anchors cover more than per-row anchors at twice the
+        # band (see TILE_YMIN); keep the band even for bf16 row pairs
+        band = max(band // 2, 4)
     packed = wk._use_packed(image, band)
     iword, fpack, ymin, ws = mei_prep_pallas(norm, rays_cf, mrows, S, F,
-                                             band)
+                                             band, tile_ymin=tile)
     row_div = 2 if packed else 1
     ymin_img = (ymin // row_div) * C
     if packed:

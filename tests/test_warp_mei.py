@@ -271,3 +271,36 @@ def test_fisheye_loss_norm_direct_matches_grid_route(monkeypatch):
     diffs = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
     assert max(jax.tree_util.tree_leaves(diffs)) < 5e-4 * max(scale, 1.0)
+
+
+def test_warp_mei_tile_ymin_matches_per_row(monkeypatch):
+    """The per-tile half-band anchor path (TILE_YMIN, the TPU default at
+    W > 128) must reproduce the per-row full-band warp: the 128-lane
+    tile-local vertical spread of Mei reprojections is well under half the
+    per-row band (scripts/fisheye_band_probe.py), so both cover every
+    sample on these motions — forward, overlap mask, AND norm gradient."""
+    S, F, B, H, W, C, band = 2, 2, 1, 16, 256, 3, 16
+    rng = np.random.RandomState(3)
+    image, norm, rays4, P, params, Ts = _scene(rng, S, F, B, H, W, C)
+    mask = rays4[..., 3]
+    rays_cf = jnp.moveaxis(rays4[..., 0:3], -1, 1)
+    mrows = wm.make_mei_rows(P, params, Ts, S)
+
+    def run():
+        def loss(n):
+            out, ov = wm.warp_mei_fused(image, mask, n, rays_cf, mrows,
+                                        S, F, band, True)
+            return jnp.sum(jnp.sin(out * 3.0)), (out, ov)
+        (val, (out, ov)), g = jax.value_and_grad(loss, has_aux=True)(norm)
+        return out, ov, g
+
+    monkeypatch.setattr(wm, "TILE_YMIN", True)
+    out_t, ov_t, g_t = run()
+    monkeypatch.setattr(wm, "TILE_YMIN", False)
+    out_r, ov_r, g_r = run()
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_r),
+                               atol=3e-4)
+    assert float(np.mean(np.asarray(ov_t) == np.asarray(ov_r))) > 0.999
+    scale = float(jnp.max(jnp.abs(g_r))) + 1e-8
+    np.testing.assert_allclose(np.asarray(g_t) / scale,
+                               np.asarray(g_r) / scale, atol=3e-4)
