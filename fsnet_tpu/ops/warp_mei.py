@@ -42,9 +42,11 @@ WARP_MEI = _os.environ.get("FSNET_WARP_MEI", "1") != "0"
 #: independently covers MORE samples with HALF the band — the head's
 #: configured ``warp_band`` is halved on this path. **Measured negative
 #: result, default OFF** (BASELINE.md round 4): 141.2 vs 152.8 imgs/s at
-#: the fisheye recipe — the halved VPU sweep does not pay for 3x the DMA
-#: descriptors per band row (the warp passes issue one DMA per output row
-#: and are descriptor-rate-bound, not sweep-bound, at this shape).
+#: the fisheye recipe. The per-row band DMA already runs at the HBM peak
+#: (654 of 657 GB/s, ``scripts/tpu_dma_rate_probe.py``); tile mode moves
+#: ~1.5x the bytes through half-size transfers at ~25% less achieved
+#: bandwidth, and the sweep it halves is a smaller share of the warp
+#: block than the ablation attribution suggested.
 #: ``FSNET_TILE_YMIN=1`` re-enables for A/B.
 TILE_YMIN = _os.environ.get("FSNET_TILE_YMIN", "0") == "1"
 
