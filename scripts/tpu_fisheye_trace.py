@@ -11,11 +11,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-import tpu_fisheye_bench as fb
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fsnet_fisheye_trace"
+sys.argv = sys.argv[:1]   # tpu_fisheye_bench reads argv at import
+
+import tpu_fisheye_bench as fb  # noqa: E402
 from fsnet_tpu.runtime.optim import build_optimizer
 from fsnet_tpu.runtime.state import init_state, make_train_step
-
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fsnet_fisheye_trace"
 
 model = fb._model()
 batch = jax.device_put(fb._batch())
