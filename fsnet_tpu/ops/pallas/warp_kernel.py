@@ -1033,6 +1033,14 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
             dimension_semantics=("arbitrary", "arbitrary")),
     )
     if tile_ymin:
+        # ymin and ws share one s32 prefetch word (2x 576 KB SMEM scoped
+        # allocs overflow at the fisheye recipe); the low half holds the
+        # band anchor in IMAGE-TILED rows, bounded by HC — guard the pack
+        # statically so a future tall shape cannot silently corrupt the
+        # DMA anchors (wrong rows gathered, no error raised).
+        assert HC < (1 << 16), (
+            f"tile-ymin ymin|ws<<16 packing needs image-tiled rows "
+            f"H'*C={HC} < 65536")
         yw = (ymin_rows.astype(jnp.int32)
               | (ws.astype(jnp.int32) << 16)).reshape(B, -1)
         outs = outs(yw, ipack_tiled, fpack_tiled, img_tiled)

@@ -95,8 +95,12 @@ def _fwd_impl(image, mask, norm, rays_cf, mrows, S, F, band, with_mask,
     tile = TILE_YMIN and image.shape[2] > 128
     if tile:
         # per-tile anchors cover more than per-row anchors at twice the
-        # band (see TILE_YMIN); keep the band even for bf16 row pairs
-        band = max(band // 2, 4)
+        # band (see TILE_YMIN); round the halved band UP to even so bf16
+        # row-pair packing stays eligible (an odd half, e.g. band 10 -> 5,
+        # would silently fail _use_packed's band%2 check and drop to the
+        # unpacked f32 route — a surprising perf cliff)
+        half = band // 2
+        band = max(half + (half & 1), 4)
     packed = wk._use_packed(image, band)
     iword, fpack, ymin, ws = mei_prep_pallas(norm, rays_cf, mrows, S, F,
                                              band, tile_ymin=tile)

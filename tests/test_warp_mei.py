@@ -163,8 +163,10 @@ def test_warp_mei_grad_matches_grid_route():
 
 
 def test_warp_mei_bf16_packed_path():
-    """bf16 images take the row-pair packed kernels; the overlap mask must
-    be identical to the f32 path (its pass is always f32/unpacked)."""
+    """bf16 images take the row-pair packed kernels; the overlap mask now
+    follows the image's packing ({0, 1} is exact in bf16, so the packed
+    mask sweep is exact) — the ov_bf == ov_f32 assertion below certifies
+    the packed and unpacked mask passes agree bit-for-bit."""
     S, F, B, H, W, C, band = 1, 2, 2, 16, 256, 3, 16
     rng = np.random.RandomState(2)
     image, norm, rays4, P, params, Ts = _scene(rng, S, F, B, H, W, C)
@@ -304,3 +306,46 @@ def test_warp_mei_tile_ymin_matches_per_row(monkeypatch):
     scale = float(jnp.max(jnp.abs(g_r))) + 1e-8
     np.testing.assert_allclose(np.asarray(g_t) / scale,
                                np.asarray(g_r) / scale, atol=3e-4)
+
+
+def test_warp_mei_tile_ymin_bf16_packed(monkeypatch):
+    """The packed-bf16 + tile_ymin combination the TPU A/B actually runs
+    (ADVICE r4): bf16 images ride the row-pair packed kernels in tile mode
+    too, exercising the ymin//2 row-pair scaling and the ymin|ws<<16
+    prefetch word on the packed path. Oracle: the per-row packed warp of
+    the same bf16 image."""
+    S, F, B, H, W, C, band = 1, 2, 2, 16, 256, 3, 16
+    rng = np.random.RandomState(4)
+    image, norm, rays4, P, params, Ts = _scene(rng, S, F, B, H, W, C)
+    mask = rays4[..., 3]
+    rays_cf = jnp.moveaxis(rays4[..., 0:3], -1, 1)
+    mrows = wm.make_mei_rows(P, params, Ts, S)
+    img_bf = image.astype(jnp.bfloat16)
+
+    def run():
+        out, ov = wm.warp_mei_fused(img_bf, mask, norm, rays_cf, mrows,
+                                    S, F, band, True)
+        return out, ov
+
+    monkeypatch.setattr(wm, "TILE_YMIN", True)
+    out_t, ov_t = run()
+    monkeypatch.setattr(wm, "TILE_YMIN", False)
+    out_r, ov_r = run()
+    assert out_t.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out_t, dtype=np.float32),
+        np.asarray(out_r, dtype=np.float32), atol=1e-2)
+    assert float(np.mean(np.asarray(ov_t) == np.asarray(ov_r))) > 0.999
+
+    # odd-half rounding: band=10 halves to 5 -> rounded up to 6 so the
+    # packed route stays eligible (ADVICE r4: silent f32 fallback cliff)
+    monkeypatch.setattr(wm, "TILE_YMIN", True)
+    used = []
+    real_use_packed = wm.wk._use_packed
+    monkeypatch.setattr(wm.wk, "_use_packed",
+                        lambda img, b: used.append(b) or
+                        real_use_packed(img, b))
+    out10, _ = wm.warp_mei_fused(img_bf, mask, norm, rays_cf, mrows,
+                                 S, F, 10, True)
+    assert used == [6], used              # halved band rounded up to even
+    assert real_use_packed(img_bf, 6)     # packed route taken, not f32
