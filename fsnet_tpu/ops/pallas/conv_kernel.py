@@ -210,9 +210,13 @@ def conv3x3_fused_mats(xpad: jnp.ndarray, mats: jnp.ndarray, brow,
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        # Sequential grid required by the double-buffered scratch.
+        # Sequential grid required by the double-buffered scratch. The
+        # 32 MB scoped-vmem limit absorbs the f32/highest-precision
+        # operand inflation (see _group); bf16 production stays well
+        # under the default 16 MB.
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024),
     )(xpad, mats.astype(xpad.dtype), brow)
 
 
@@ -284,15 +288,28 @@ def conv3x3_fused_dw(xpad: jnp.ndarray, g: jnp.ndarray,
             ],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024),
     )(xpad, g)
 
 
 def _group(group: int, H: int, NB: int, PCmax: int, itemsize: int) -> int:
-    """Rows per grid block: divides H, double-buffered scratch in budget."""
-    budget = 6 * 1024 * 1024
+    """Rows per grid block: divides H, FULL live working set in budget.
+
+    The working set is not just the double-buffered DMA scratch: Mosaic
+    materializes the two shifted-block copies (Xp/Xn) plus a copy per
+    reshaped matmul operand (9 dy/slot slices) — ~13 [(G+2), NB, PCmax]
+    buffers live at peak. Round-5 post-mortem: the old scratch-only budget
+    (6 MB) admitted G=16 for the f32 route at upconv_1_1 (NB=80, PC=256),
+    whose real scoped allocation is 18.3 MB > the 16 MB limit — an
+    f32-only compile failure the bf16 production path never hit (half the
+    itemsize). "Supported" must never admit a shape that cannot compile
+    (BASELINE.md round 4), so the budget now models the measured live set;
+    bf16 groupings are unchanged at every shipped shape."""
+    budget = 12 * 1024 * 1024
     while group > 1 and (H % group != 0
-                         or 2 * (group + 2) * NB * PCmax * itemsize > budget):
+                         or 13 * (group + 2) * NB * PCmax * itemsize
+                         > budget):
         group //= 2
     return max(group, 1)
 

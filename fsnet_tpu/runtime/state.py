@@ -65,7 +65,8 @@ def init_state(model, sample_batch: Dict, tx, rng: jax.Array,
     )
 
 
-def make_train_step(donate: bool = True, compute_dtype=None):
+def make_train_step(donate: bool = True, compute_dtype=None,
+                    with_grads: bool = False):
     """Build the jitted train step. Returns
     ``train_step(state, batch, rng) -> (state, metrics)`` where metrics is the
     scalar loss dict (reference ``loss_dict``) plus the heatmap dict.
@@ -73,7 +74,14 @@ def make_train_step(donate: bool = True, compute_dtype=None):
     ``compute_dtype`` (e.g. ``jnp.bfloat16``) enables mixed precision: master
     parameters stay f32, the forward/backward runs in the compute dtype
     (bf16 doubles MXU throughput and halves HBM traffic on TPU), and the loss
-    is accumulated in f32."""
+    is accumulated in f32.
+
+    ``with_grads`` (gates only, e.g. ``scripts/tpu_smoke.py``): ship the raw
+    parameter gradients in ``metrics["_grads"]`` so a single compile of the
+    SHIPPED step exposes the backward for route-parity assertions — the
+    reference's CI equivalently exercises its real cuDNN/ATen backward
+    (/root/reference/.gitlab-ci.yml:10-16). Never set in production loops
+    (it keeps a full param-sized tree live past the update)."""
 
     def _cast(tree, dtype):
         return jax.tree.map(
@@ -116,6 +124,8 @@ def make_train_step(donate: bool = True, compute_dtype=None):
         )
         metrics = dict(out["loss_dict"])
         metrics["loss"] = loss
+        if with_grads:
+            metrics["_grads"] = grads
         return new_state, metrics, out.get("hm", {})
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

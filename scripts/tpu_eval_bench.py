@@ -78,5 +78,13 @@ def nusc_train():
 
 
 if __name__ == "__main__":
-    eval_fps()
-    nusc_train()
+    # `eval` arg: eval FPS only (the round-5 bs1 variance study runs this
+    # in >=3 separate sessions — each process is a fresh TPU claim — and
+    # records mean +- spread in BASELINE.md, VERDICT r4 item 7)
+    if "eval" in sys.argv[1:]:
+        eval_fps()
+    elif "nusc" in sys.argv[1:]:
+        nusc_train()
+    else:
+        eval_fps()
+        nusc_train()
