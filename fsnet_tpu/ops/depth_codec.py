@@ -59,8 +59,18 @@ def _gather_activation_fwd(logits, depth_bins):
 
 def _gather_activation_bwd(res, g):
     activated, bins, mask, y, zero_bins = res
-    glogits = jnp.where(mask, activated.astype(g.dtype) * (bins - y) * g, 0.0)
-    return glogits.astype(activated.dtype), zero_bins
+    # Compute in the LOGITS dtype, not the depth-cotangent dtype: depth is
+    # deliberately f32 (camera-geometry precision), so g arrives f32 — but
+    # computing (bins - y) * g at f32 materializes full-res f32
+    # [B, H, W, bins] intermediates (r5 trace: ~0.8 ms/step of f32
+    # broadcasts at the flagship shape). The logits gradient is consumed at
+    # the compute dtype anyway; casting the [B, H, W, 1] factors first
+    # keeps every bins-wide tensor at compute width. f32/f64 runs are
+    # unchanged (the casts are no-ops there — parity oracles unaffected).
+    ct = activated.dtype
+    gl = activated * (bins.astype(ct) - y.astype(ct)) * g.astype(ct)
+    glogits = jnp.where(mask, gl, 0)
+    return glogits, zero_bins
 
 
 gather_activation.defvjp(_gather_activation_fwd, _gather_activation_bwd)
