@@ -28,14 +28,15 @@ import flax.linen as nn
 from ...ops.geometry import get_smooth_loss, invert_K, make_K44, reproject
 from ...ops.metrics import compute_depth_errors_masked
 from ...ops.ssim import (
-    ssim as ssim_fn, ssim_target_stats, ssim_target_stats_tiled, ssim_tiled,
+    ssim as ssim_fn, ssim_nchw, ssim_target_stats, ssim_target_stats_tiled,
+    ssim_tiled,
 )
 from ...ops.warp import _unnormalize
 from ...ops.photo_loss import (
     photo_loss_supported, reprojection_loss_fused, reprojection_loss_fused_t)
 from ...ops.warp_depth import (
-    make_affine_rows, warp_depth_fused, warp_depth_fused_tiled,
-    warp_depth_supported)
+    make_affine_rows, warp_depth_fused, warp_depth_fused_cm,
+    warp_depth_fused_tiled, warp_depth_supported)
 from ...ops.warp_fast import (
     _tile_nhwc, grid_sample, grid_sample_band_tiled,
     scale_batched_warp_is_fused,
@@ -59,6 +60,27 @@ TILED_LOSS = _os.environ.get("FSNET_TILED_LOSS", "0") != "0"
 PHOTO_TILED = _os.environ.get("FSNET_PHOTO_TILED", "1") != "0"
 from ...utils.builder import build
 from ..blocks import adaptive_avg_pool2d, interpolate_bilinear
+
+
+def wk_cmajor() -> bool:
+    """Channel-major warp emission active? (TPU backends only — the NCHW
+    layout win is a TPU layout-assignment property.)"""
+    import jax as _jax
+
+    from ...ops.pallas import warp_kernel as _wk
+
+    return _wk.CMAJOR_OUT and _jax.default_backend() in ("tpu", "axon")
+
+
+def reprojection_loss_nchw(pred: jnp.ndarray, target: jnp.ndarray,
+                           ssim_weight: float = 0.85,
+                           target_stats=None) -> jnp.ndarray:
+    """:func:`reprojection_loss` on channel-major [N, C, H, W] operands ->
+    [N, H, W] (channel mean over axis 1; no keepdims — the NCHW caller
+    consumes the per-pixel map directly)."""
+    l1 = jnp.mean(jnp.abs(target - pred), axis=1)
+    s = jnp.mean(ssim_nchw(pred, target, y_stats=target_stats), axis=1)
+    return ssim_weight * s + (1.0 - ssim_weight) * l1
 
 
 def reprojection_loss(pred: jnp.ndarray, target: jnp.ndarray,
@@ -237,6 +259,19 @@ class MonoDepth2Decoder(nn.Module):
                 overlap = (ov_flat.reshape(S, F, B, H, W)
                            if self.overlapped_mask else None)
                 return preds, overlap, depths_full, None, preds_tl
+            if wk_cmajor() and not self.is_light_compensate:
+                # channel-major emission (ops/pallas/warp_kernel.CMAJOR_OUT):
+                # preds stay NCHW end-to-end through the photometric chain;
+                # the NHWC view below feeds output_dict/logging only and is
+                # DCE'd under jit when heatmaps are off
+                preds_cm, ov_flat = warp_depth_fused_cm(
+                    sources_flat, depths_full.reshape(S * B, H, W), arows,
+                    S, F, self.warp_band)
+                preds_cm = preds_cm.reshape(S, F, B, C, H, W)
+                preds = jnp.moveaxis(preds_cm, 3, 5)
+                overlap = (ov_flat.reshape(S, F, B, H, W)
+                           if self.overlapped_mask else None)
+                return preds, overlap, depths_full, None, None, preds_cm
             preds_flat, ov_flat = warp_depth_fused(
                 sources_flat, depths_full.reshape(S * B, H, W), arows, S, F,
                 self.warp_band)
@@ -357,6 +392,7 @@ class MonoDepth2Decoder(nn.Module):
         preds, overlap, depths_full = warp_res[:3]
         preds_t = warp_res[3] if len(warp_res) > 3 else None
         preds_photo_t = warp_res[4] if len(warp_res) > 4 else None
+        preds_cm = warp_res[5] if len(warp_res) > 5 else None
         for si, s in enumerate(scales):
             output_dict[("depth", 0, s)] = depths_full[si]
             for fi, f in enumerate(frames):
@@ -375,7 +411,21 @@ class MonoDepth2Decoder(nn.Module):
             return jnp.broadcast_to(t[None, None], (S, F) + t.shape).reshape(
                 (-1,) + t.shape[1:])
 
-        if preds_t is not None:
+        if preds_cm is not None:
+            # channel-major chain (wk.CMAJOR_OUT): the warp emitted NCHW
+            # for free; the photometric pools/elementwise run in the
+            # plane-major layouts XLA prefers, and the cotangent reaches
+            # the warp VJP without any NHWC relayout. The target (and its
+            # pooled stats, shared with the identity losses below) cross
+            # to NCHW via two cheap [B, ...] transposes.
+            tgt_cm = jnp.moveaxis(target, 3, 1)
+            st_cm = tuple(jnp.moveaxis(t, 3, 1) for t in t_stats)
+            tgt_sf = _sf_tile(tgt_cm)
+            st_sf = tuple(_sf_tile(t) for t in st_cm)
+            proj_loss = reprojection_loss_nchw(
+                preds_cm.reshape(-1, preds_cm.shape[3], H, W), tgt_sf,
+                target_stats=st_sf).reshape(S, F, B, H, W)
+        elif preds_t is not None:
             # tiled-layout loss (FSNET_TILED_LOSS): SSIM/L1 directly on the
             # warp kernels' [N, Ho, T, C, L] output; the channel-reduced
             # result reshapes to [S, F, B, H, W] for free

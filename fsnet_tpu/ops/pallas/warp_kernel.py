@@ -122,6 +122,23 @@ PACK_IDX = _os_dynws.environ.get("FSNET_PACK_IDX", "1") != "0"
 #: weight field never selects, so they are numerically inert.
 STACK_WIN = _os_dynws.environ.get("FSNET_STACK_WIN", "0") != "0"
 
+#: Emit the fused kernels' outputs CHANNEL-MAJOR ([B, C, Ho, T, L] instead
+#: of [B, Ho, T, C, L]): a [B, C, Ho, W] NCHW tensor is then a FREE reshape
+#: of the kernel output. The r5 trace showed XLA running the photometric
+#: fusions in plane-major layouts ({2,1,3,0}/{1,2,3,0} on NHWC = C-major
+#: planes) and paying ~1.5-2 ms/step of relayout copies converting the
+#: kernels' NHWC-tiled outputs + the backward cotangent chain; channel-major
+#: emission kills the NHWC hop on both sides (the backward contraction
+#: sum_c g*va reshapes gfx/gfy [N, Ho, T, L] -> [N, Ho, W] for free).
+#: In-kernel cost: the [C, L] tile store becomes C-strided (Mosaic may
+#: split it into C sublane stores). **Measured negative result, default
+#: OFF** (BASELINE.md round 5): same-day bench A/B 292.43 vs 294.21
+#: imgs/s — the trace confirms ~1.2 ms/step of relayout copies disappear,
+#: but the strided stores slow the fused warp pass 8.51 -> 8.92 ms and
+#: XLA grows new transposed fusions around the NCHW loss chain; net
+#: slightly negative. ``FSNET_CMAJOR_OUT=1`` re-enables for A/B.
+CMAJOR_OUT = _os_dynws.environ.get("FSNET_CMAJOR_OUT", "0") == "1"
+
 
 def _read_idx(ipack_ref, g, u, packed_idx: bool, with_masks: bool):
     """Per-tile index rows, each [1, L]: (x0r, x0t, x1r, x1t, d0, d1, masks).
@@ -460,7 +477,8 @@ def _kernel_fused(ws_ref, ipack_ref, fpack_ref, band_ref, out_ref, va_ref,
 def _kernel_dma_fused(ymin_ref, ws_ref, ipack_ref, fpack_ref, img_ref,
                       out_ref, va_ref, vb_ref, scr, sems, *, G, T, band, C,
                       L, packed, NI, Ho, fold=False, border=False,
-                      stack=False, packed_idx=False, tile_ymin=False):
+                      stack=False, packed_idx=False, tile_ymin=False,
+                      cmajor=False):
     """Fused fwd+vjp kernel with the band row-gather as double-buffered DMA
     (see :func:`_kernel_dma`). Under ``tile_ymin`` the scratch is
     [2, G, T, kw, KL, L] and each output tile's kw-tile window is DMA'd at
@@ -488,9 +506,14 @@ def _kernel_dma_fused(ymin_ref, ws_ref, ipack_ref, fpack_ref, img_ref,
                     lambda t, u=u: scr[slot, g, u, t], g, u,
                     T=T, band=band, C=C, L=L, packed=packed, fold=fold,
                     border=border, win=win, KLF=KLF, packed_idx=packed_idx)
-                out_ref[0, g, u] = o.astype(out_ref.dtype)
-                va_ref[0, g, u] = va.astype(va_ref.dtype)
-                vb_ref[0, g, u] = vb.astype(vb_ref.dtype)
+                if cmajor:
+                    out_ref[0, :, g, u] = o.astype(out_ref.dtype)
+                    va_ref[0, :, g, u] = va.astype(va_ref.dtype)
+                    vb_ref[0, :, g, u] = vb.astype(vb_ref.dtype)
+                else:
+                    out_ref[0, g, u] = o.astype(out_ref.dtype)
+                    va_ref[0, g, u] = va.astype(va_ref.dtype)
+                    vb_ref[0, g, u] = vb.astype(vb_ref.dtype)
         return
     slot, n, h = _dma_prologue(ymin_ref, img_ref, scr, sems, G=G, NI=NI)
     for g in range(G):
@@ -503,9 +526,14 @@ def _kernel_dma_fused(ymin_ref, ws_ref, ipack_ref, fpack_ref, img_ref,
                 ipack_ref, fpack_ref, lambda t: scr[slot, g, ws + t], g, u,
                 T=T, band=band, C=C, L=L, packed=packed, fold=fold,
                 border=border, win=win, KLF=KLF, packed_idx=packed_idx)
-            out_ref[0, g, u] = o.astype(out_ref.dtype)
-            va_ref[0, g, u] = va.astype(va_ref.dtype)
-            vb_ref[0, g, u] = vb.astype(vb_ref.dtype)
+            if cmajor:
+                out_ref[0, :, g, u] = o.astype(out_ref.dtype)
+                va_ref[0, :, g, u] = va.astype(va_ref.dtype)
+                vb_ref[0, :, g, u] = vb.astype(vb_ref.dtype)
+            else:
+                out_ref[0, g, u] = o.astype(out_ref.dtype)
+                va_ref[0, g, u] = va.astype(va_ref.dtype)
+                vb_ref[0, g, u] = vb.astype(vb_ref.dtype)
 
 
 def _kernel_dma_fused_tile(yw_ref, ipack_ref, fpack_ref, img_ref, out_ref,
@@ -903,14 +931,28 @@ def _dma_group(group: int, Ho: int, T: int, KL: int, L: int,
     return max(group, 1)
 
 
-def _split_fused_out(outs, C: int, tiled_vjp: bool = False):
+def _split_fused_out(outs, C: int, tiled_vjp: bool = False,
+                     cmajor: bool = False):
     """Three [B, Ho, T, C, L] kernel outputs -> (out NHWC, va, vb).
 
     ``tiled_vjp``: leave va/vb in the kernel's native tiled [B, Ho, T, C, L]
     layout — they are only ever consumed by the backward contraction
     ``gfx = sum_c g * va``, which can transpose the single cotangent ``g``
     instead of both difference tensors (one relayout pass instead of two).
+
+    ``cmajor``: outputs are [B, C, Ho, T, L]; ``out`` is returned as the
+    FREE [B, C, Ho, W] NCHW reshape and va/vb stay channel-major tiled
+    (the backward contraction reduces their C axis in place).
     """
+    if cmajor:
+        B, Cc, Ho, T, L = outs[0].shape
+        if tiled_vjp == "all":
+            return tuple(outs)
+        out = outs[0].reshape(B, Cc, Ho, T * L)
+        if tiled_vjp:
+            return out, outs[1], outs[2]
+        return (out,) + tuple(o.reshape(B, Cc, Ho, T * L)
+                              for o in outs[1:])
     B, Ho, T, _, L = outs[0].shape
     if tiled_vjp == "all":
         return tuple(outs)
@@ -974,9 +1016,11 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
                                ipack: jnp.ndarray, fpack8: jnp.ndarray,
                                band: int, C: int, group: int = 8,
                                packed: bool = False, tiled_vjp: bool = False,
-                               border: bool = False):
+                               border: bool = False, cmajor: bool = False):
     """Fused fwd+vjp with the band row-gather as double-buffered DMA;
-    returns (out, va, vb) each [B, Ho, W, C].
+    returns (out, va, vb) each [B, Ho, W, C] — or, under ``cmajor``
+    (:data:`CMAJOR_OUT`), out [B, C, Ho, W] NCHW with va/vb left in the
+    channel-major tiled layout [B, C, Ho, T, L].
 
     ``ymin_rows`` [B, Ho] selects the per-row band anchor; [B, Ho, T]
     (tile-ymin mode, from a ``tile_ymin`` prep kernel) anchors each output
@@ -999,14 +1043,25 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
     packed_idx = ipack_tiled.ndim == 4
     F = 2 if packed_idx else fpack_tiled.shape[3]
 
+    cm = cmajor
     kernel = functools.partial(
         _kernel_dma_fused_tile if tile_ymin else _kernel_dma_fused,
         G=G, T=T, band=band, C=C,
         L=L, packed=packed, NI=NI, Ho=Ho,
         fold=not packed_idx and F > 8,
         border=border or (not packed_idx and F == 4),
-        stack=stack, packed_idx=packed_idx)
+        stack=stack, packed_idx=packed_idx, cmajor=cm)
     odt = jnp.bfloat16 if (packed and BF16_OUT) else img_tiled.dtype
+    if cm:
+        ospec = pl.BlockSpec((1, C, G, T, L),
+                             lambda n, h, *_: (n, 0, h, 0, 0),
+                             memory_space=pltpu.VMEM)
+        oshape = (B, C, Ho, T, L)
+    else:
+        ospec = pl.BlockSpec((1, G, T, C, L),
+                             lambda n, h, *_: (n, h, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        oshape = (B, Ho, T, C, L)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1 if tile_ymin else 2,
         grid=(B, Ho // G),
@@ -1015,9 +1070,7 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
             fspec,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[pl.BlockSpec((1, G, T, C, L),
-                                lambda n, h, *_: (n, h, 0, 0, 0),
-                                memory_space=pltpu.VMEM)] * 3,
+        out_specs=[ospec] * 3,
         scratch_shapes=[
             pltpu.VMEM((2, G, T, kw, KLF, L) if tile_ymin
                        else (2, G, T, KLF, L), img_tiled.dtype),
@@ -1026,7 +1079,7 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
     )
     outs = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((B, Ho, T, C, L), odt)] * 3,
+        out_shape=[jax.ShapeDtypeStruct(oshape, odt)] * 3,
         grid_spec=grid_spec,
         # Sequential grid required by the double-buffered scratch (see fwd).
         compiler_params=pltpu.CompilerParams(
@@ -1048,7 +1101,7 @@ def warp_rows_pallas_dma_fused(img_tiled: jnp.ndarray,
         outs = outs(ymin_rows.astype(jnp.int32),
                     ws.astype(jnp.int32).reshape(-1),
                     ipack_tiled, fpack_tiled, img_tiled)
-    return _split_fused_out(outs, C, tiled_vjp=tiled_vjp)
+    return _split_fused_out(outs, C, tiled_vjp=tiled_vjp, cmajor=cm)
 
 
 def warp_rows_pallas(bands_cw: jnp.ndarray, ws: jnp.ndarray,

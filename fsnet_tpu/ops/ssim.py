@@ -139,6 +139,48 @@ def ssim_tiled(x: jnp.ndarray, y: jnp.ndarray, y_stats=None) -> jnp.ndarray:
     return jnp.clip((1.0 - ssim_n / ssim_d) / 2.0, 0.0, 1.0)
 
 
+def _avg_pool_same_nchw(x: jnp.ndarray, kernel_size: int,
+                        padding: int) -> jnp.ndarray:
+    """:func:`_avg_pool_same` on channel-major [N, C, H, W] tensors (the
+    warp kernels' ``cmajor`` output layout — a free reshape of their
+    [N, C, Ho, T, L] emission). Same banded-matrix MXU form; the plane
+    axes are the two minors, which is the layout XLA's photometric fusions
+    were picking anyway (r5 trace)."""
+    N, C, H, W = x.shape
+    acc_t = jnp.promote_types(x.dtype, jnp.float32)
+    mh = jnp.asarray(_pool_matrix(H, kernel_size, padding), x.dtype)
+    x = jnp.einsum("bchw,Hh->bcHw", x, mh,
+                   preferred_element_type=acc_t).astype(x.dtype)
+    mw = jnp.asarray(_pool_matrix(W, kernel_size, padding), x.dtype)
+    return jnp.einsum("bchw,Ww->bchW", x, mw,
+                      preferred_element_type=acc_t).astype(x.dtype)
+
+
+def ssim_target_stats_nchw(y: jnp.ndarray, kernel_size: int = 3,
+                           padding: int = 1):
+    """Channel-major :func:`ssim_target_stats`."""
+    mu_y = _avg_pool_same_nchw(y, kernel_size, padding)
+    sigma_y = jnp.maximum(
+        _avg_pool_same_nchw(y * y, kernel_size, padding) - mu_y * mu_y, 0.0)
+    return mu_y, sigma_y
+
+
+def ssim_nchw(x: jnp.ndarray, y: jnp.ndarray, kernel_size: int = 3,
+              padding: int = 1, y_stats=None) -> jnp.ndarray:
+    """Channel-major :func:`ssim` (same math, [N, C, H, W] operands)."""
+    mu_x = _avg_pool_same_nchw(x, kernel_size, padding)
+    if y_stats is None:
+        y_stats = ssim_target_stats_nchw(y, kernel_size, padding)
+    mu_y, sigma_y = y_stats
+    # variance clamp: see ssim()
+    sigma_x = jnp.maximum(
+        _avg_pool_same_nchw(x * x, kernel_size, padding) - mu_x * mu_x, 0.0)
+    sigma_xy = _avg_pool_same_nchw(x * y, kernel_size, padding) - mu_x * mu_y
+    ssim_n = (2.0 * mu_x * mu_y + _C1) * (2.0 * sigma_xy + _C2)
+    ssim_d = (mu_x * mu_x + mu_y * mu_y + _C1) * (sigma_x + sigma_y + _C2)
+    return jnp.clip((1.0 - ssim_n / ssim_d) / 2.0, 0.0, 1.0)
+
+
 def ssim_target_stats(y: jnp.ndarray, kernel_size: int = 3,
                       padding: int = 1):
     """Precompute the target-side pooled stats (mu_y, sigma_y) of

@@ -64,9 +64,11 @@ def make_affine_rows(K: jnp.ndarray, inv_K: jnp.ndarray, Ts: jnp.ndarray,
     return jnp.broadcast_to(rows[None], (S, F, B, 16)).reshape(-1, 16)
 
 
-def _fwd_impl(image, depth, arows, S, F, band, tiled_out=False):
-    """-> (out [N, H, W, C] NHWC, or [N, H, T, C, L] kernel-tiled when
-    ``tiled_out``; overlap bool [N, H, W]; va, vb tiled)."""
+def _fwd_impl(image, depth, arows, S, F, band, tiled_out=False,
+              cmajor=False):
+    """-> (out [N, H, W, C] NHWC, [N, C, H, W] NCHW under ``cmajor``, or
+    [N, H, T, C, L] kernel-tiled when ``tiled_out``; overlap bool
+    [N, H, W]; va, vb tiled)."""
     C = image.shape[3]
     packed = wk._use_packed(image, band)
     iword, fpack, ymin_rows, ws = warp_prep_pallas(
@@ -80,7 +82,7 @@ def _fwd_impl(image, depth, arows, S, F, band, tiled_out=False):
     out, va, vb = wk.warp_rows_pallas_dma_fused(
         img_tiled, ymin_rows, ws, iword, fpack, rows, C, group=8,
         packed=packed, tiled_vjp="all" if tiled_out else TILED_VJP,
-        border=True)
+        border=True, cmajor=cmajor)
     overlap = ((iword >> 28) & 1).astype(bool)
     return out.astype(image.dtype), overlap, va.astype(image.dtype), \
         vb.astype(image.dtype)
@@ -152,3 +154,39 @@ def _bwd_tiled(S, F, band, residuals, cot):
 
 
 warp_depth_fused_tiled.defvjp(_fwd_tiled, _bwd_tiled)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def warp_depth_fused_cm(image, depth, arows, S, F, band):
+    """:func:`warp_depth_fused` with CHANNEL-MAJOR predictions
+    [S*F*B, C, H, W] (``wk.CMAJOR_OUT``): the NCHW tensor is a free
+    reshape of the kernel's [N, C, Ho, T, L] output, the photometric
+    consumers run in the plane-major layouts XLA prefers anyway (r5 trace:
+    ~2 ms/step of NHWC<->plane-major relayout copies around the kernels),
+    and the backward contraction reshapes gfx/gfy [N, Ho, T, L] ->
+    [N, Ho, W] for free."""
+    out, overlap, _, _ = _fwd_impl(image, depth, arows, S, F, band,
+                                   cmajor=True)
+    return out, overlap
+
+
+def _fwd_cm(image, depth, arows, S, F, band):
+    out, overlap, va, vb = _fwd_impl(image, depth, arows, S, F, band,
+                                     cmajor=True)
+    return (out, overlap), (image, depth, arows, va, vb)
+
+
+def _bwd_cm(S, F, band, residuals, cot):
+    image, depth, arows, va, vb = residuals
+    g, _ = cot                      # NCHW [N, C, H, W]
+    N, Cc, H, W = g.shape
+    L = va.shape[-1]
+    g_t = g.reshape(N, Cc, H, W // L, L)      # free: (T, L) split of W
+    gfx = jnp.sum(g_t * va, axis=1).reshape(N, H, W)
+    gfy = jnp.sum(g_t * vb, axis=1).reshape(N, H, W)
+    ddepth = warp_prep_bwd_pallas(depth, gfx, gfy, arows, S, F)
+    return (jnp.zeros_like(image), ddepth.astype(depth.dtype),
+            jnp.zeros_like(arows))
+
+
+warp_depth_fused_cm.defvjp(_fwd_cm, _bwd_cm)

@@ -179,3 +179,50 @@ def test_flagship_loss_depth_direct_matches_grid_route(monkeypatch):
     diffs = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
     assert max(jax.tree_util.tree_leaves(diffs)) < 5e-4 * max(scale, 1.0)
+
+
+def test_warp_depth_cmajor_matches_nhwc():
+    """The channel-major emission (wk.CMAJOR_OUT / warp_depth_fused_cm)
+    must be a pure LAYOUT change: NCHW forward == transposed NHWC forward
+    bit-for-bit, same overlap, same depth gradient."""
+    S, F, B, H, W, C, band = 2, 2, 1, 16, 256, 3, 8
+    rng = np.random.RandomState(3)
+    image, depth, K, Ts = _scene(rng, S, F, B, H, W, C)
+    inv_K = invert_K(K)
+    arows = wd.make_affine_rows(K, inv_K, Ts, S)
+
+    def loss_nhwc(d):
+        out, ov = wd.warp_depth_fused(image, d, arows, S, F, band)
+        return jnp.sum(jnp.sin(out * 3.0)), (out, ov)
+
+    def loss_cm(d):
+        out, ov = wd.warp_depth_fused_cm(image, d, arows, S, F, band)
+        return jnp.sum(jnp.sin(out * 3.0)), (out, ov)
+
+    (v0, (o0, ov0)), g0 = jax.value_and_grad(loss_nhwc, has_aux=True)(depth)
+    (v1, (o1, ov1)), g1 = jax.value_and_grad(loss_cm, has_aux=True)(depth)
+    assert o1.shape == (S * F * B, C, H, W)
+    np.testing.assert_array_equal(np.asarray(jnp.moveaxis(o1, 1, 3)),
+                                  np.asarray(o0))
+    np.testing.assert_array_equal(np.asarray(ov1), np.asarray(ov0))
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-5,
+                               atol=1e-7)
+
+
+def test_warp_depth_cmajor_bf16_packed():
+    """cmajor on the bf16 row-pair packed kernels (the production combo)."""
+    S, F, B, H, W, C, band = 1, 2, 2, 16, 256, 3, 8
+    rng = np.random.RandomState(4)
+    image, depth, K, Ts = _scene(rng, S, F, B, H, W, C)
+    inv_K = invert_K(K)
+    arows = wd.make_affine_rows(K, inv_K, Ts, S)
+    img_bf = image.astype(jnp.bfloat16)
+
+    out_n, ov_n = wd.warp_depth_fused(img_bf, depth, arows, S, F, band)
+    out_c, ov_c = wd.warp_depth_fused_cm(img_bf, depth, arows, S, F, band)
+    assert out_c.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(jnp.moveaxis(out_c, 1, 3), dtype=np.float32),
+        np.asarray(out_n, dtype=np.float32))
+    np.testing.assert_array_equal(np.asarray(ov_c), np.asarray(ov_n))
