@@ -90,9 +90,15 @@ def reprojection_loss(pred: jnp.ndarray, target: jnp.ndarray,
     (reference ``compute_reprojection_loss``, ``monodepth2_decoder.py:118-128``).
     ``target_stats``: precomputed :func:`ssim_target_stats` of ``target``
     (shape-matched) — skips re-pooling the target per comparison."""
-    l1 = jnp.mean(jnp.abs(target - pred), axis=-1, keepdims=True)
+    # channel means accumulate in the INPUT dtype: jnp.mean's half-precision
+    # upcast otherwise emits f32 per-pixel maps, dragging the whole
+    # min/automask chain (and its backward) to f32 at [S*F*B, H, W] scale
+    # (r5 trace: ~0.6 ms of f32 [96,192,640] traffic). A 3-element mean is
+    # exact to 1 ulp in any dtype; the final loss sum still accumulates f32.
+    l1 = jnp.mean(jnp.abs(target - pred), axis=-1, keepdims=True,
+                  dtype=pred.dtype)
     s = jnp.mean(ssim_fn(pred, target, y_stats=target_stats), axis=-1,
-                 keepdims=True)
+                 keepdims=True, dtype=pred.dtype)
     return ssim_weight * s + (1.0 - ssim_weight) * l1
 
 
@@ -558,7 +564,10 @@ class MonoDepth2Decoder(nn.Module):
                 gw = self.photometric_net_grad_weight
                 u = gw * u + (1.0 - gw) * jax.lax.stop_gradient(u)
                 to_opt_s = to_opt_s / u + jnp.log(u + 1e-5)
-            loss_s = jnp.sum(to_opt_s, dtype=acc_t) / photo_norm
+            # .astype(acc_t).sum() — not sum(dtype=acc_t): same f32-accumulated
+            # value, but the backward casts the cotangent back to the compute
+            # dtype AT THE SUM, so the min/automask backward chain runs bf16
+            loss_s = jnp.sum(to_opt_s.astype(acc_t)) / photo_norm
 
             disp = output_dict[("disp", s)]  # [B, h, w, 1]
             h, w = disp.shape[1], disp.shape[2]

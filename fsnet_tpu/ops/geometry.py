@@ -220,10 +220,13 @@ def get_smooth_loss(disp: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
     grad_disp_x = grad_disp_x * jnp.exp(-grad_img_x)
     grad_disp_y = grad_disp_y * jnp.exp(-grad_img_y)
     # >= f32 accumulation: bf16 means over B*H*W elements quantize badly
-    # (promote, not hard-cast: f64 parity tests need f64 accumulation)
+    # (promote, not hard-cast: f64 parity tests need f64 accumulation).
+    # .astype().mean() — not mean(dtype=): same accumulated value, but the
+    # backward casts the cotangent to the compute dtype at the reduction,
+    # keeping the upstream elementwise backward at compute width.
     acc_t = jnp.promote_types(grad_disp_x.dtype, jnp.float32)
-    return (jnp.mean(grad_disp_x, dtype=acc_t)
-            + jnp.mean(grad_disp_y, dtype=acc_t))
+    return (jnp.mean(grad_disp_x.astype(acc_t))
+            + jnp.mean(grad_disp_y.astype(acc_t)))
 
 
 def decode_depth_inv_sigmoid(depth):
