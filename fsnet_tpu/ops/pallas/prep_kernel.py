@@ -82,7 +82,8 @@ def _iotas(h, G, W):
 
 
 def _pack_xy(x, y, iword_ref, fpack_ref, ymin_ref, ws_ref,
-             *, T, L, H, W, band, row_div, row_mul, tile_ymin=False):
+             *, T, L, H, W, band, row_div, row_mul, tile_ymin=False,
+             tiled_out=False):
     """Pack projected pixel coords [G, W] into the band-warp operands
     (shared by the pinhole and Mei prep kernels).
 
@@ -102,8 +103,20 @@ def _pack_xy(x, y, iword_ref, fpack_ref, ymin_ref, ws_ref,
     yb = jnp.clip(y, 0.0, float(H - 1))
     x0f = jnp.floor(xb)
     y0f = jnp.floor(yb)
-    fpack_ref[0, 0] = xb - x0f
-    fpack_ref[0, 1] = yb - y0f
+    fx = xb - x0f
+    fy = yb - y0f
+    if tiled_out:
+        # rank-5 fpack [1, 2, G, T, L]: aligned lane-tile slice stores, so
+        # the fused warp kernel's operand is the prep kernel's output
+        # VERBATIM — the XLA-side [.., W] -> [.., T, L] reshape between two
+        # layout-pinned custom calls materialized ~0.8 ms/step of copies
+        # through an H-minor intermediate (r5 trace, copy.12980/12986)
+        for u in range(T):
+            fpack_ref[0, 0, :, u] = fx[:, u * L:(u + 1) * L]
+            fpack_ref[0, 1, :, u] = fy[:, u * L:(u + 1) * L]
+    else:
+        fpack_ref[0, 0] = fx
+        fpack_ref[0, 1] = fy
     x0c = x0f.astype(jnp.int32)
     y0c = y0f.astype(jnp.int32)
     x1c = jnp.minimum(x0c + 1, W - 1)
@@ -149,23 +162,29 @@ def _pack_xy(x, y, iword_ref, fpack_ref, ymin_ref, ws_ref,
     hic = (wsx + kw) * L - 1
     x0w = jnp.clip(x0c, lo, hic)
     x1w = jnp.clip(x1c, lo, hic)
-    iword_ref[0] = ((x0w % L)
-                    | ((x0w // L - wsx) << 7)
-                    | (d0 << 9)
-                    | ((x1w % L) << 14)
-                    | ((x1w // L - wsx) << 21)
-                    | (d1 << 23)
-                    | (ov.astype(jnp.int32) << 28))
+    word = ((x0w % L)
+            | ((x0w // L - wsx) << 7)
+            | (d0 << 9)
+            | ((x1w % L) << 14)
+            | ((x1w // L - wsx) << 21)
+            | (d1 << 23)
+            | (ov.astype(jnp.int32) << 28))
+    if tiled_out:
+        for u in range(T):
+            iword_ref[0, :, u] = word[:, u * L:(u + 1) * L]
+    else:
+        iword_ref[0] = word
 
 
 def _prep_kernel(depth_ref, a_ref, iword_ref, fpack_ref, ymin_ref, ws_ref,
-                 *, G, T, L, H, W, band, row_div, row_mul):
+                 *, G, T, L, H, W, band, row_div, row_mul, tiled_out=False):
     """Grid (N, H // G); every op is a full [G, W] (or [G, L]) block."""
     ii, jj = _iotas(pl.program_id(1), G, W)
     d = depth_ref[0].astype(jnp.float32)
     x, y, _, _, _, _ = _pix_coords(a_ref, d, jj, ii)
     _pack_xy(x, y, iword_ref, fpack_ref, ymin_ref, ws_ref, T=T, L=L, H=H,
-             W=W, band=band, row_div=row_div, row_mul=row_mul)
+             W=W, band=band, row_div=row_div, row_mul=row_mul,
+             tiled_out=tiled_out)
 
 
 def warp_prep_pallas(depth: jnp.ndarray, arows: jnp.ndarray, S: int, F: int,
@@ -187,7 +206,7 @@ def warp_prep_pallas(depth: jnp.ndarray, arows: jnp.ndarray, S: int, F: int,
         G //= 2
     kernel = functools.partial(
         _prep_kernel, G=G, T=T, L=L, H=H, W=W, band=band,
-        row_div=2 if packed else 1, row_mul=C)
+        row_div=2 if packed else 1, row_mul=C, tiled_out=True)
 
     def di(n, h):
         # n = (s * F + f) * B + b -> depth row s * B + b
@@ -202,9 +221,9 @@ def warp_prep_pallas(depth: jnp.ndarray, arows: jnp.ndarray, S: int, F: int,
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, G, W), lambda n, h: (n, h, 0),
+            pl.BlockSpec((1, G, T, L), lambda n, h: (n, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, G, W), lambda n, h: (n, 0, h, 0),
+            pl.BlockSpec((1, 2, G, T, L), lambda n, h: (n, 0, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, 1), lambda n, h: (n, h, 0),
                          memory_space=pltpu.VMEM),
@@ -215,8 +234,11 @@ def warp_prep_pallas(depth: jnp.ndarray, arows: jnp.ndarray, S: int, F: int,
     iword, fpack, ymin, ws = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((N, H, W), jnp.int32),
-            jax.ShapeDtypeStruct((N, 2, H, W), jnp.float32),
+            # pre-tiled [.., T, L] shapes: byte-identical to the W-minor
+            # rank-3/4 forms, but the fused warp kernel consumes them with
+            # NO intervening XLA reshape (see _pack_xy tiled_out)
+            jax.ShapeDtypeStruct((N, H, T, L), jnp.int32),
+            jax.ShapeDtypeStruct((N, 2, H, T, L), jnp.float32),
             jax.ShapeDtypeStruct((N, H, 1), jnp.int32),
             jax.ShapeDtypeStruct((N, H, T), jnp.int32),
         ],

@@ -883,9 +883,17 @@ def _pack_specs(ipack, fpack, fdt, B, Ho, T, L, G):
     (``prep_kernel.warp_prep_pallas``) can emit them as two clean full
     [G, W] block stores. Legacy layout: the usual :func:`_tile_w`
     transposes."""
-    if ipack.ndim == 3:
-        ipack_tiled = ipack.astype(jnp.int32).reshape(B, Ho, T, L)
-        fpack_tiled = fpack.astype(fdt).reshape(B, 2, Ho, T, L)
+    if ipack.ndim == 3 or (ipack.ndim == 4 and ipack.shape[-1] == L
+                           and fpack.ndim == 5):
+        if ipack.ndim == 3:
+            ipack_tiled = ipack.astype(jnp.int32).reshape(B, Ho, T, L)
+            fpack_tiled = fpack.astype(fdt).reshape(B, 2, Ho, T, L)
+        else:
+            # pre-tiled by the prep kernel (prep_kernel tiled_out): the
+            # operands pass through VERBATIM — no XLA reshape between the
+            # two custom calls (which materialized ~0.8 ms/step of copies)
+            ipack_tiled = ipack
+            fpack_tiled = fpack.astype(fdt)
         ispec = pl.BlockSpec((1, G, T, L), lambda n, h, *_: (n, h, 0, 0),
                              memory_space=pltpu.VMEM)
         fspec = pl.BlockSpec((1, 2, G, T, L),

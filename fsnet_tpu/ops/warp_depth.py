@@ -83,7 +83,10 @@ def _fwd_impl(image, depth, arows, S, F, band, tiled_out=False,
         img_tiled, ymin_rows, ws, iword, fpack, rows, C, group=8,
         packed=packed, tiled_vjp="all" if tiled_out else TILED_VJP,
         border=True, cmajor=cmajor)
-    overlap = ((iword >> 28) & 1).astype(bool)
+    # iword arrives pre-tiled [N, H, T, L] (prep_kernel tiled_out); the
+    # overlap view is a free reshape fused into its elementwise consumers
+    N, Hh = iword.shape[:2]
+    overlap = ((iword >> 28) & 1).astype(bool).reshape(N, Hh, -1)
     return out.astype(image.dtype), overlap, va.astype(image.dtype), \
         vb.astype(image.dtype)
 
