@@ -545,8 +545,12 @@ class MonoDepth2Decoder(nn.Module):
         cur = target
         for s in range(1, max(scales) + 1 if scales else 1):
             Bc, Hc, Wc, Cc = cur.shape
-            nxt = cur.astype(acc_t).reshape(
-                Bc, Hc // 2, 2, Wc // 2, 2, Cc).mean(axis=(2, 4))
+            # mean(dtype=acc_t), NOT astype(acc_t).mean(): the dtype arg
+            # fuses the convert INTO the reduce — the astype form
+            # materialized an f32 N-minor copy of the full-res target
+            # (~0.6 ms/step, r5 trace copy.12863 + reduce.606)
+            nxt = cur.reshape(Bc, Hc // 2, 2, Wc // 2, 2, Cc).mean(
+                axis=(2, 4), dtype=acc_t)
             cur = nxt.astype(target.dtype)
             color_pyr[s] = cur
         total_loss = 0.0
@@ -574,8 +578,12 @@ class MonoDepth2Decoder(nn.Module):
             color = (color_pyr[s]
                      if s in color_pyr and color_pyr[s].shape[1:3] == (h, w)
                      else adaptive_avg_pool2d(target, h, w))
-            mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
-            norm_disp = disp / (mean_disp + 1e-7)
+            # accumulate the disp mean in acc_t (>= f32: B*h*w elements)
+            # but cast the scalar back so norm_disp — and the whole
+            # smoothness chain behind it — stays at compute width
+            mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True,
+                                 dtype=acc_t)
+            norm_disp = disp / (mean_disp + 1e-7).astype(disp.dtype)
             smooth = get_smooth_loss(norm_disp, color) * 1e-5 / (2 ** s)
 
             losses[f"smooth_loss/{s}"] = jax.lax.stop_gradient(smooth)

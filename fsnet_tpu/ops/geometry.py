@@ -212,10 +212,13 @@ def get_smooth_loss(disp: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
     grad_disp_x = jnp.abs(disp[:, :, :-1, :] - disp[:, :, 1:, :])
     grad_disp_y = jnp.abs(disp[:, :-1, :, :] - disp[:, 1:, :, :])
 
-    grad_img_x = jnp.mean(jnp.abs(img[:, :, :-1, :] - img[:, :, 1:, :]), axis=-1,
-                          keepdims=True)
-    grad_img_y = jnp.mean(jnp.abs(img[:, :-1, :, :] - img[:, 1:, :, :]), axis=-1,
-                          keepdims=True)
+    # channel means at the image dtype: jnp.mean's half-precision upcast
+    # otherwise emits f32 [B, H, W-1] guidance maps (r5 trace); a 3-element
+    # mean is exact to 1 ulp in any dtype
+    grad_img_x = jnp.mean(jnp.abs(img[:, :, :-1, :] - img[:, :, 1:, :]),
+                          axis=-1, keepdims=True, dtype=img.dtype)
+    grad_img_y = jnp.mean(jnp.abs(img[:, :-1, :, :] - img[:, 1:, :, :]),
+                          axis=-1, keepdims=True, dtype=img.dtype)
 
     grad_disp_x = grad_disp_x * jnp.exp(-grad_img_x)
     grad_disp_y = grad_disp_y * jnp.exp(-grad_img_y)
