@@ -238,15 +238,30 @@ class ConvBnReLU(nn.Module):
         C_total = sum(C) if isinstance(C, (tuple, list)) else C
         k, b = _ConvParams(Co, C_total, name="conv")()
         pad_mode = "replicate" if self.padding_mode == "replicate" else "zeros"
-        xp = fc.conv3x3_packed(xp, k, b, C=C, pad_mode=pad_mode)
+        moments = None
+        use_ra_pre = (not train) or self.norm_frozen
+        if not use_ra_pre:
+            # train-mode BN: the conv kernel's moments epilogue ships the
+            # per-lane sum/sum-sq with the conv — zero extra reads of the
+            # activation (fc.conv3x3_packed_bn; XLA fallback is the same
+            # math as batch_moments_packed)
+            xp, s1, s2 = fc.conv3x3_packed_bn(xp, k, b, C=C,
+                                              pad_mode=pad_mode)
+            P = xp.shape[-1] // Co
+            n = xp.shape[0] * xp.shape[1] * xp.shape[2] * P
+            mean = jnp.sum(s1.reshape(P, Co), axis=0) / n
+            m2 = jnp.sum(s2.reshape(P, Co), axis=0) / n
+            moments = (mean, m2 - jnp.square(mean))
+        else:
+            xp = fc.conv3x3_packed(xp, k, b, C=C, pad_mode=pad_mode)
 
         scale, bias, mean_v, var_v = _BnScope(Co, name="norm")()
         momentum, eps = 0.9, 1e-5
-        use_ra = (not train) or self.norm_frozen
+        use_ra = use_ra_pre
         if use_ra:
             mean, var = mean_v.value, var_v.value
         else:
-            mean, var = fc.batch_moments_packed(xp, Co)
+            mean, var = moments
             if self.norm_axis_name is not None:
                 m2 = var + jnp.square(mean)
                 mean = jax.lax.pmean(mean, self.norm_axis_name)

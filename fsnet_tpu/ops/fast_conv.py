@@ -451,6 +451,79 @@ def _pallas_cvjp_bwd(Cs, pad_mode, res, g):
 _conv3x3_pallas_cvjp.defvjp(_pallas_cvjp_fwd, _pallas_cvjp_bwd)
 
 
+def conv3x3_packed_bn(xp, w: jnp.ndarray, bias, C=None,
+                      pad_mode: str = "zeros"):
+    """:func:`conv3x3_packed` + per-packed-lane output moments for
+    train-mode BN: returns (out [B, H, NB, PCo], s1 [PCo] f32, s2 [PCo]
+    f32) with s1/s2 the sum / sum-of-squares of ``out`` over (B, H, NB).
+
+    On the Pallas path the moments ride the conv kernel's epilogue (zero
+    extra HBM reads — the XLA moments pass re-read every conv output,
+    ~1.5 ms/step across the decoder at the KITTI recipe) and multi-part
+    inputs accumulate in-kernel (removing the XLA output-add pass too).
+    Fallback: the plain conv + an XLA reduction (identical math)."""
+    parts = list(xp) if isinstance(xp, (tuple, list)) else [xp]
+    Cs = list(C) if isinstance(C, (tuple, list)) else [
+        parts[0].shape[-1] if C is None else C]
+    if PALLAS_CONV and _pallas_conv_supported(parts, Cs, w.shape[3]):
+        return _conv3x3_pallas_bn_cvjp(tuple(parts), w, bias, tuple(Cs),
+                                       pad_mode)
+    out = conv3x3_packed(xp, w, bias, C=C, pad_mode=pad_mode)
+    xf = out.astype(jnp.float32)
+    return out, jnp.sum(xf, axis=(0, 1, 2)), \
+        jnp.sum(xf * xf, axis=(0, 1, 2))
+
+
+def _conv3x3_forward_pallas_bn(parts, Cs, w, bias, pad_mode: str):
+    from .pallas import conv_kernel as ck
+
+    Co = w.shape[3]
+    P = max(128 // Co, 1)
+    out = None
+    off = 0
+    last = len(parts) - 1
+    for i, (part, c) in enumerate(zip(parts, Cs)):
+        xp = repack(part, c, P)
+        xpad = _rowpad3(xp, pad_mode)
+        mats = ck.make_mats(w[:, :, off:off + c], P, pad_mode, xp.dtype)
+        off += c
+        brow = (jnp.tile(bias.astype(xp.dtype), P)[None]
+                if bias is not None and i == 0 else None)
+        if i == last:
+            out, mom = ck.conv3x3_fused_mats_m(xpad, mats, brow, prev=out)
+        else:
+            o = ck.conv3x3_fused_mats(xpad, mats, brow)
+            out = o if out is None else out + o
+    return out, mom[0], mom[1]
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv3x3_pallas_bn_cvjp(parts, w, bias, Cs, pad_mode):
+    return _conv3x3_forward_pallas_bn(list(parts), list(Cs), w, bias,
+                                      pad_mode)
+
+
+def _pallas_bn_cvjp_fwd(parts, w, bias, Cs, pad_mode):
+    out, s1, s2 = _conv3x3_forward_pallas_bn(list(parts), list(Cs), w,
+                                             bias, pad_mode)
+    return (out, s1, s2), (parts, w, None if bias is None else True, out)
+
+
+def _pallas_bn_cvjp_bwd(Cs, pad_mode, res, cots):
+    parts, w, has_bias, out = res
+    g, gs1, gs2 = cots
+    # d s1/d out = 1, d s2/d out = 2*out — fold the moment cotangents into
+    # the output cotangent (one fused elementwise pass; this is exactly
+    # what XLA's autodiff of the separate moments reduction emitted)
+    g_tot = (g.astype(jnp.float32) + gs1[None, None, None, :]
+             + 2.0 * out.astype(jnp.float32)
+             * gs2[None, None, None, :]).astype(g.dtype)
+    return _pallas_cvjp_bwd(Cs, pad_mode, (parts, w, has_bias), g_tot)
+
+
+_conv3x3_pallas_bn_cvjp.defvjp(_pallas_bn_cvjp_fwd, _pallas_bn_cvjp_bwd)
+
+
 @_partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _conv3x3_packed_cvjp(parts, w, bias, Cs, pad_mode):
     return _conv3x3_forward(list(parts), list(Cs), w, bias, pad_mode)

@@ -172,6 +172,41 @@ def _fwd_kernel(xpad_ref, m_ref, bias_ref, out_ref, scr, sems, *,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
+def _fwd_kernel_m(xpad_ref, m_ref, bias_ref, prev_ref, out_ref, mom_ref,
+                  scr, sems, macc, *, G, NB, PC, PCo, with_prev):
+    """:func:`_fwd_kernel` + BN-moments epilogue: accumulates per-lane sum
+    and sum-of-squares of the biased output into a VMEM scratch across the
+    sequential grid and writes [2, PCo] f32 at the last block — the
+    train-mode BN stats then cost ZERO extra HBM reads of the activation
+    (the XLA moments pass re-read every conv output, ~1.5 ms/step across
+    the decoder). ``with_prev``: add a previous partial sum (multi-part
+    convs accumulate IN-KERNEL, which also removes the XLA add pass)."""
+    blk0 = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(blk0)
+    def _():
+        macc[...] = jnp.zeros((2, PCo), jnp.float32)
+
+    slot = _row_dma(xpad_ref, scr, sems, G, None)
+    acc = _conv_tile(scr[slot], m_ref, G=G, NB=NB, PC=PC, PCo=PCo)
+    acc = acc + bias_ref[0].astype(jnp.float32)
+    if with_prev:
+        acc = acc + prev_ref[0].astype(jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+    # moments of the STORED value (cast round-trip), so mean/var describe
+    # exactly the tensor downstream consumers normalize
+    accs = out_ref[0].astype(jnp.float32)
+    macc[0:1] += jnp.sum(accs, axis=(0, 1)).reshape(1, PCo)
+    macc[1:2] += jnp.sum(accs * accs, axis=(0, 1)).reshape(1, PCo)
+
+    nblk = pl.num_programs(0) * pl.num_programs(1)
+    blk = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+
+    @pl.when(blk == nblk - 1)
+    def _():
+        mom_ref[...] = macc[...]
+
+
 def conv3x3_fused_mats(xpad: jnp.ndarray, mats: jnp.ndarray, brow,
                        group: int = 16) -> jnp.ndarray:
     """Fused conv on prebuilt banded matrices. ``xpad`` [B, Hout+2, NB, PC]
@@ -218,6 +253,64 @@ def conv3x3_fused_mats(xpad: jnp.ndarray, mats: jnp.ndarray, brow,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=32 * 1024 * 1024),
     )(xpad, mats.astype(xpad.dtype), brow)
+
+
+def conv3x3_fused_mats_m(xpad: jnp.ndarray, mats: jnp.ndarray, brow,
+                         prev=None, group: int = 16):
+    """:func:`conv3x3_fused_mats` with the BN-moments epilogue (and an
+    optional in-kernel previous-partial-sum operand for multi-part convs):
+    returns (out [B, Hout, NB, PCo], mom [2, PCo] f32) where mom[0]/mom[1]
+    are the sum / sum-of-squares of the stored output over (B, Hout, NB)
+    per packed lane."""
+    B, Hp, NB, PC = xpad.shape
+    H = Hp - 2
+    PCo = mats.shape[-1]
+    G = _group(group, H, NB, max(PC, PCo), xpad.dtype.itemsize)
+    if brow is None:
+        brow = jnp.zeros((1, PCo), xpad.dtype)
+    with_prev = prev is not None
+    if not with_prev:
+        prev = jnp.zeros((1, 1, 1, PCo), xpad.dtype)
+        pspec = pl.BlockSpec((1, 1, 1, PCo), lambda n, h: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    else:
+        pspec = pl.BlockSpec((1, G, NB, PCo), lambda n, h: (n, h, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_fwd_kernel_m, G=G, NB=NB, PC=PC, PCo=PCo,
+                               with_prev=with_prev)
+    return pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((B, H, NB, PCo), xpad.dtype),
+                   jax.ShapeDtypeStruct((2, PCo), jnp.float32)],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(B, H // G),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),          # xpad (HBM)
+                pl.BlockSpec((_NM, PC, PCo), lambda n, h: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, PCo), lambda n, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pspec,
+            ],
+            out_specs=[pl.BlockSpec((1, G, NB, PCo),
+                                    lambda n, h: (n, h, 0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((2, PCo), lambda n, h: (0, 0),
+                                    memory_space=pltpu.VMEM)],
+            scratch_shapes=[
+                pltpu.VMEM((2, G + 2, NB, PC), xpad.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, PCo), jnp.float32),
+            ],
+        ),
+        # Sequential grid required by the double-buffered scratch AND the
+        # cross-block moments accumulator.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024),
+    )(xpad, mats.astype(xpad.dtype), brow, prev)
 
 
 def _dw_kernel(xpad_ref, g_ref, dw_ref, scr, sems, acc, *, G, NB, PC, PCo):

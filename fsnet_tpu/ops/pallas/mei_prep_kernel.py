@@ -92,7 +92,8 @@ def _mei_prep_kernel(norm_ref, rays_ref, m_ref, iword_ref, fpack_ref,
     rz = rays_ref[0, 2].astype(jnp.float32)
     x, y, _ = _mei_pix(m_ref, n, rx, ry, rz)
     _pack_xy(x, y, iword_ref, fpack_ref, ymin_ref, ws_ref, T=T, L=L, H=H,
-             W=W, band=band, row_div=1, row_mul=1, tile_ymin=tile_ymin)
+             W=W, band=band, row_div=1, row_mul=1, tile_ymin=tile_ymin,
+             tiled_out=True)
 
 
 def mei_prep_pallas(norm: jnp.ndarray, rays_cf: jnp.ndarray,
@@ -138,9 +139,9 @@ def mei_prep_pallas(norm: jnp.ndarray, rays_cf: jnp.ndarray,
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, G, W), lambda n_, h: (n_, h, 0),
+            pl.BlockSpec((1, G, T, L), lambda n_, h: (n_, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, G, W), lambda n_, h: (n_, 0, h, 0),
+            pl.BlockSpec((1, 2, G, T, L), lambda n_, h: (n_, 0, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, YT), lambda n_, h: (n_, h, 0),
                          memory_space=pltpu.VMEM),
@@ -151,8 +152,12 @@ def mei_prep_pallas(norm: jnp.ndarray, rays_cf: jnp.ndarray,
     iword, fpack, ymin, ws = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((N, H, W), jnp.int32),
-            jax.ShapeDtypeStruct((N, 2, H, W), jnp.float32),
+            # pre-tiled [.., T, L] shapes (see prep_kernel tiled_out): the
+            # fused warp kernel consumes these VERBATIM — no XLA reshape
+            # between the custom calls (the fisheye trace carried ~10.6 ms
+            # of relayout copies, a large share from exactly this seam)
+            jax.ShapeDtypeStruct((N, H, T, L), jnp.int32),
+            jax.ShapeDtypeStruct((N, 2, H, T, L), jnp.float32),
             jax.ShapeDtypeStruct((N, H, YT), jnp.int32),
             jax.ShapeDtypeStruct((N, H, T), jnp.int32),
         ],

@@ -139,7 +139,11 @@ def _fwd_impl(image, mask, norm, rays_cf, mrows, S, F, band, with_mask,
             mout, _, _ = wk.warp_rows_pallas_dma_fused(
                 mask_tiled, ymin, ws, iword, fpack_r, band, 1, group=8,
                 packed=False, tiled_vjp=False, border=True)
-        overlap = (mout[..., 0] == 1.0) & ((iword >> 28) & 1).astype(bool)
+        # iword arrives pre-tiled [N, H, T, L] (mei_prep tiled_out); the
+        # in-bounds view is a free reshape fused into the AND
+        Nw, Hw = iword.shape[:2]
+        inb = ((iword >> 28) & 1).astype(bool).reshape(Nw, Hw, -1)
+        overlap = (mout[..., 0] == 1.0) & inb
     return out.astype(image.dtype), overlap, va.astype(image.dtype), \
         vb.astype(image.dtype)
 

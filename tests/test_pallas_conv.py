@@ -130,3 +130,62 @@ def test_conv_kernel_gate_requires_aligned_nb():
         assert not ck.conv_kernel_supported(4, 512, 128, dt)    # too small
     assert not ck.conv_kernel_supported(24, 512, 128, jnp.float64)
     assert not ck.conv_kernel_supported(24, 500, 128, jnp.float32)  # lanes
+
+
+@pytest.mark.parametrize("nparts", [1, 2])
+def test_pallas_conv_bn_moments(monkeypatch, nparts):
+    """conv3x3_packed_bn (moments epilogue + in-kernel multi-part
+    accumulation) == conv3x3_packed + explicit XLA moments: forward,
+    moments, and all cotangents including the moment cotangents."""
+    B, H, W, C, Co = 2, 16, 128, 16, 16
+    P = 128 // Co
+    rng = np.random.RandomState(5)
+    Cs = [C] * nparts
+    parts = [fc.pack_width(
+        jnp.asarray(rng.randn(B, H, W, c).astype(np.float32)), 128 // c)
+        for c in Cs]
+    w = jnp.asarray(rng.randn(3, 3, sum(Cs), Co).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.randn(Co).astype(np.float32)) * 0.1
+    xp = parts[0] if nparts == 1 else tuple(parts)
+    Carg = Cs[0] if nparts == 1 else tuple(Cs)
+
+    def ref(w, b, *ps):
+        x = ps[0] if nparts == 1 else tuple(ps)
+        out = fc.conv3x3_packed(x, w, b, C=Carg, pad_mode="zeros")
+        xf = out.astype(jnp.float32)
+        return out, jnp.sum(xf, axis=(0, 1, 2)), \
+            jnp.sum(xf * xf, axis=(0, 1, 2))
+
+    def pal(w, b, *ps):
+        x = ps[0] if nparts == 1 else tuple(ps)
+        return fc.conv3x3_packed_bn(x, w, b, C=Carg, pad_mode="zeros")
+
+    monkeypatch.setattr(fc, "PALLAS_CONV", False)
+    o_r, s1_r, s2_r = ref(w, b, *parts)
+    monkeypatch.setattr(fc, "PALLAS_CONV", True)
+    monkeypatch.setattr(fc, "_pallas_conv_supported", lambda *a: True)
+    o_p, s1_p, s2_p = pal(w, b, *parts)
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1_p), np.asarray(s1_r),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s2_p), np.asarray(s2_r),
+                               rtol=1e-5, atol=1e-3)
+
+    # gradients, with loss touching out AND both moment outputs
+    def loss(f):
+        def inner(w, b, *ps):
+            out, s1, s2 = f(w, b, *ps)
+            return (jnp.sum(out.astype(jnp.float32) ** 2)
+                    + jnp.sum(jnp.sin(s1)) + 1e-3 * jnp.sum(jnp.cos(s2)))
+        return inner
+
+    n = 2 + nparts
+    monkeypatch.setattr(fc, "PALLAS_CONV", False)
+    gr = jax.grad(loss(ref), argnums=tuple(range(n)))(w, b, *parts)
+    monkeypatch.setattr(fc, "PALLAS_CONV", True)
+    gp = jax.grad(loss(pal), argnums=tuple(range(n)))(w, b, *parts)
+    for i, (a, bb) in enumerate(zip(gr, gp)):
+        ra, rb = np.asarray(a), np.asarray(bb)
+        np.testing.assert_allclose(
+            rb, ra, atol=2e-3 * max(1.0, np.abs(ra).max()), rtol=2e-3,
+            err_msg=f"grad argnum {i}")
