@@ -102,10 +102,19 @@ print(f"activation volume: {act_bytes/1e6:.0f} MB bf16 "
 
 # ------------------------------------------------------------- warp kernels
 # fused fwd+vjp pass, band4 packed. The kernel's unit of work is one
-# (output row, 128-lane W-tile): gathers + unpack + weight field + 3 output
-# stores, ~170-190 VECTOR instructions each (BASELINE.md round-1: "~190 ops
-# per [KL, L] output tile"; the VPU issues ~2.0 G vector instr/s = measured
-# 2.04 Tfma/s / 1024 lanes).
+# (output row, 128-lane W-tile). Round-5 replaced the single measured
+# "170-190 instr/tile" number with a static per-class budget from the
+# Mosaic module (scripts/warp_instr_budget.py): 176.4 vreg-ops/tile =
+# select-mask 57 (32%) + weight mul/add 37 (21%) + broadcast/shape 29
+# (16%) + unpack 17 (10%) + index-arith 11 + vmem loads 6 + GATHERS 6
+# (3.4%) + stores 3 + other 10 — the static total lands inside the
+# measured band, cross-validating both. Irreducibility: the kernel is NOT
+# gather-bound; the dominant cmp/conv+broadcast classes are the y-select/
+# weight field whose two alternative formulations (FOLD_WIN pre-folded
+# rows; [1, L] lane-row compares) were both measured SLOWER on hardware
+# (BASELINE.md negative results), and at KL <= 8 every [KL, L] op is one
+# vreg op regardless of micro-shaping. The VPU issues ~2.0 G vector
+# instr/s = measured 2.04 Tfma/s / 1024 lanes.
 VPU_ISSUE = VPU_FMA / 1024                  # vector instructions / s
 row_tiles = N * H * (W // 128)
 for instr in (170, 190):
