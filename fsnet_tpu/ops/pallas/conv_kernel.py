@@ -208,7 +208,7 @@ def _fwd_kernel_m(xpad_ref, m_ref, bias_ref, prev_ref, out_ref, mom_ref,
 
 
 def conv3x3_fused_mats(xpad: jnp.ndarray, mats: jnp.ndarray, brow,
-                       group: int = 16) -> jnp.ndarray:
+                       group: int = 32) -> jnp.ndarray:
     """Fused conv on prebuilt banded matrices. ``xpad`` [B, Hout+2, NB, PC]
     row-pre-padded, ``mats`` [15, PC, PCo] (:func:`make_mats`), ``brow``
     [1, PCo] or None -> out [B, Hout, NB, PCo] in xpad's dtype."""
@@ -256,7 +256,7 @@ def conv3x3_fused_mats(xpad: jnp.ndarray, mats: jnp.ndarray, brow,
 
 
 def conv3x3_fused_mats_m(xpad: jnp.ndarray, mats: jnp.ndarray, brow,
-                         prev=None, group: int = 16):
+                         prev=None, group: int = 32):
     """:func:`conv3x3_fused_mats` with the BN-moments epilogue (and an
     optional in-kernel previous-partial-sum operand for multi-part convs):
     returns (out [B, Hout, NB, PCo], mom [2, PCo] f32) where mom[0]/mom[1]
@@ -349,7 +349,7 @@ def _dw_kernel(xpad_ref, g_ref, dw_ref, scr, sems, acc, *, G, NB, PC, PCo):
 
 
 def conv3x3_fused_dw(xpad: jnp.ndarray, g: jnp.ndarray,
-                     group: int = 16) -> jnp.ndarray:
+                     group: int = 32) -> jnp.ndarray:
     """Weight-cotangent accumulators: xpad [B, H+2, NB, PC] (the forward's
     padded input), g [B, H, NB, PCo] output cotangent -> dwacc
     [15, PC, PCo] f32, entry si*3+dy = sum over pixels of
