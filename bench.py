@@ -44,7 +44,7 @@ def _measure() -> tuple:
                             steps_per_epoch=1000, clip_gradients=1.0)
     state = init_state(model, batch, tx, jax.random.PRNGKey(0))
     import jax.numpy as jnp
-    train_step = make_train_step(donate=False, compute_dtype=jnp.bfloat16)
+    train_step = make_train_step(donate=True, compute_dtype=jnp.bfloat16)
 
     rng = jax.random.PRNGKey(1)
     # warmup: force a real host sync per step with float() — on remote-tunnel
