@@ -159,3 +159,57 @@ def test_conv3x3_packed_custom_vjp_matches_autodiff(pad_mode):
         # f32 matmul-ordering noise only: scale atol to the tensor magnitude
         np.testing.assert_allclose(c, a, rtol=1e-4,
                                    atol=1e-5 * max(1.0, np.abs(a).max()))
+
+
+def test_packed_decoder_pallas_bn_route(monkeypatch):
+    """Module-level coverage of the PALLAS conv + BN-moments-epilogue route
+    (round 5): on CPU the backend gate routes conv3x3_packed_bn to the XLA
+    fallback, so force the pallas dispatch (interpret kernels) and assert
+    the decoder still matches the unpacked reference decoder in train mode
+    — conv outputs, BN batch stats, and running-stat updates."""
+    import jax.experimental.pallas as pl
+
+    import fsnet_tpu.ops.pallas.conv_kernel as ck
+    from fsnet_tpu.ops import fast_conv as fc
+    from fsnet_tpu.models.heads.depth_decoder import MultiChannelDepthDecoder
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(ck.pl, "pallas_call", patched)
+    monkeypatch.setattr(fc, "PALLAS_CONV", True)
+    real_sup = fc._pallas_conv_supported
+
+    def sup(parts, Cs, Co):
+        # keep the real shape gating, drop only the backend probe
+        import unittest.mock as um
+
+        with um.patch("jax.default_backend", return_value="tpu"):
+            return real_sup(parts, Cs, Co)
+
+    monkeypatch.setattr(fc, "_pallas_conv_supported", sup)
+
+    rng = np.random.RandomState(1)
+    B, H, W = 2, 64, 128
+    feats = [jnp.asarray(rng.rand(B, H // s, W // s, c).astype(np.float32))
+             for s, c in [(2, 64), (4, 64), (8, 128), (16, 256), (32, 512)]]
+
+    dec_u = MultiChannelDepthDecoder(packed=False, scales=(0, 1, 2, 3),
+                                     min_depth=0.5, max_depth=100.0)
+    dec_p = MultiChannelDepthDecoder(packed=True, scales=(0, 1, 2, 3),
+                                     min_depth=0.5, max_depth=100.0)
+    v = dec_u.init(jax.random.PRNGKey(0), feats, train=True)
+
+    ou, mu = dec_u.apply(v, feats, train=True, mutable=["batch_stats"])
+    op, mp = dec_p.apply(v, feats, train=True, mutable=["batch_stats"])
+    for k in ou:
+        np.testing.assert_allclose(np.asarray(ou[k]), np.asarray(op[k]),
+                                   atol=5e-4, rtol=1e-3, err_msg=str(k))
+    for (pu, su), (pp, sp) in zip(
+            jax.tree_util.tree_leaves_with_path(mu),
+            jax.tree_util.tree_leaves_with_path(mp)):
+        np.testing.assert_allclose(np.asarray(su), np.asarray(sp),
+                                   atol=5e-4, rtol=1e-3, err_msg=str(pu))
