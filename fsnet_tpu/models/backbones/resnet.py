@@ -196,9 +196,24 @@ class ResNet(nn.Module):
 
         outs = []
         x = self._stem_conv(x)
-        x = BatchNorm(axis_name=self.norm_axis_name, frozen=frozen,
-                      name="bn1")(x, train)
-        x = jax.nn.relu(x)
+        Cs = x.shape[-1]
+        if (jax.default_backend() in ("tpu", "axon")
+                and x.shape[2] % 2 == 0 and 2 * Cs == 128):
+            # lane-full stem BN+ReLU: the [B, H, W, 64] stem stage uses 64
+            # of 128 lanes on every elementwise/BN op in NHWC; the width-
+            # packed view [B, H, W/2, 128] (a free reshape) runs the
+            # moments + normalize + relu lane-full. Parameters/stat names
+            # are identical (BatchNorm packed_C path).
+            from ...ops import fast_conv as fc
+
+            xp = fc.pack_width(x, 2)
+            xp = BatchNorm(axis_name=self.norm_axis_name, frozen=frozen,
+                           name="bn1")(xp, train, packed_C=Cs)
+            x = fc.unpack_width(jax.nn.relu(xp), Cs)
+        else:
+            x = BatchNorm(axis_name=self.norm_axis_name, frozen=frozen,
+                          name="bn1")(x, train)
+            x = jax.nn.relu(x)
         if -1 in self.out_indices:
             outs.append(x)
         x = max_pool_3x3_s2_p1(x)

@@ -111,8 +111,34 @@ class BatchNorm(nn.Module):
     frozen: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 packed_C: Optional[int] = None) -> jnp.ndarray:
         use_running_average = (not train) or self.frozen
+        if packed_C is not None:
+            # width-packed path (x is [B, H, W/P, P*packed_C]): moments and
+            # normalize run lane-full via the fast_conv helpers; parameter/
+            # stat names mirror nn.BatchNorm's 'bn' scope exactly (same
+            # checkpoint format as the standard path — the equivalence
+            # ConvBnReLU's packed path already relies on)
+            from ..ops import fast_conv as fc
+
+            scale, bias, mean_v, var_v = _BnVars(packed_C, name="bn")()
+            if use_running_average:
+                mean, var = mean_v.value, var_v.value
+            else:
+                mean, var = fc.batch_moments_packed(x, packed_C)
+                if self.axis_name is not None:
+                    m2 = var + jnp.square(mean)
+                    mean = jax.lax.pmean(mean, self.axis_name)
+                    m2 = jax.lax.pmean(m2, self.axis_name)
+                    var = m2 - jnp.square(mean)
+                if not self.is_initializing():
+                    mean_v.value = (self.momentum * mean_v.value
+                                    + (1 - self.momentum) * mean)
+                    var_v.value = (self.momentum * var_v.value
+                                   + (1 - self.momentum) * var)
+            return fc.batchnorm_packed(x, packed_C, mean, var, scale, bias,
+                                       epsilon=self.epsilon)
         return nn.BatchNorm(
             use_running_average=use_running_average,
             momentum=self.momentum,

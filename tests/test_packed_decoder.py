@@ -213,3 +213,56 @@ def test_packed_decoder_pallas_bn_route(monkeypatch):
             jax.tree_util.tree_leaves_with_path(mp)):
         np.testing.assert_allclose(np.asarray(su), np.asarray(sp),
                                    atol=5e-4, rtol=1e-3, err_msg=str(pu))
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_batchnorm_packed_path_matches_standard(train):
+    """BatchNorm(packed_C=...) on the width-packed view must equal the
+    standard nn.BatchNorm path on NHWC (same params/stat names, same
+    values) — the lane-full stem BN (round 5) relies on this."""
+    from fsnet_tpu.models.blocks import BatchNorm
+    from fsnet_tpu.ops import fast_conv as fc
+
+    rng = np.random.RandomState(2)
+    B, H, W, C = 2, 8, 32, 64
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    bn = BatchNorm()
+    v = bn.init(jax.random.PRNGKey(0), x, train=True)
+
+    ou, mu = bn.apply(v, x, train=train, mutable=["batch_stats"])
+    op_p, mp = bn.apply(v, fc.pack_width(x, 2), train=train,
+                        packed_C=C, mutable=["batch_stats"])
+    op = fc.unpack_width(op_p, C)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(ou),
+                               atol=1e-5, rtol=1e-5)
+    for (pu, su), (pp, sp) in zip(
+            jax.tree_util.tree_leaves_with_path(mu),
+            jax.tree_util.tree_leaves_with_path(mp)):
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(su),
+                                   atol=1e-5, rtol=1e-5, err_msg=str(pu))
+
+
+def test_resnet_packed_stem_matches_unpacked(monkeypatch):
+    """The lane-full stem dispatch (backend-gated) must be a pure layout
+    change: same outputs and batch stats as the NHWC stem path."""
+    from fsnet_tpu.models.backbones.resnet import ResNet
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 64, 128, 3).astype(np.float32))
+    net = ResNet(layers=(2, 2, 2, 2), out_indices=(-1, 0, 1),
+                 num_stages=2, norm_eval=False)
+    v = net.init(jax.random.PRNGKey(0), x, train=True)
+
+    outs_u, mu = net.apply(v, x, train=True, mutable=["batch_stats"])
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    outs_p, mp = net.apply(v, x, train=True, mutable=["batch_stats"])
+    # 1e-4 abs: the packed moments fold phases in a different summation
+    # order (measured max diff 2e-5 at f32)
+    for a, b in zip(outs_u, outs_p):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-4, rtol=1e-3)
+    for (pu, su), (pp, sp) in zip(
+            jax.tree_util.tree_leaves_with_path(mu),
+            jax.tree_util.tree_leaves_with_path(mp)):
+        np.testing.assert_allclose(np.asarray(sp), np.asarray(su),
+                                   atol=1e-4, rtol=1e-3, err_msg=str(pu))
