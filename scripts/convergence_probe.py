@@ -280,7 +280,7 @@ def study(args):
     {band configs + exact oracle} on hard scenes, >=1k steps; final AbsRel
     mean +- 95% CI per config; the shipped default must have a CI
     overlapping the exact warp's."""
-    seeds = list(range(args.seeds))
+    seeds = list(range(args.seed_start, args.seed_start + args.seeds))
     hard = not args.easy
     scene_sets = {}
     for s in seeds:
@@ -343,6 +343,9 @@ def main():
                          "occlusion robustness' hypothesis (round-4 VERDICT "
                          "item 6): if shipped still beats f32 here, that "
                          "explanation is wrong")
+    ap.add_argument("--seed_start", type=int, default=0,
+                    help="study mode: first seed index (extend an earlier "
+                         "study without re-running its seeds)")
     ap.add_argument("--prod_sched", action="store_true",
                     help="study mode: production-shaped StepLR (decay at "
                          "40%% of the run, as StepLR(8)/20 epochs)")
